@@ -1,13 +1,362 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.operators.{ChangeLog, DedupOps, TextOps, VectorOps}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Each `queries` entry exercises one engine operator family from
+  * SURVEY.md §2 over the driver's parquet tables; `oracleSql` carries the
+  * equivalent DuckDB SQL. Aggregates over doubles are computed through
+  * exact DECIMAL(18,4) arithmetic and cast back to double at the end so
+  * both engines produce bit-identical results regardless of partial-agg
+  * ordering.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** SUM over a double column via exact decimal accumulation → double. */
+  private def dsum(c: Column): Column = sum(c.cast("decimal(18,4)")).cast("double")
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
+    * the CDC last-writer-wins apply (reference DebeziumTransform.scala:752-759)
+    * over the events change-log. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    ChangeLog.latestByKey(
+      t(spark, "/root/testdata/sf0.001", "events"),
+      Seq("user_id"), "event_id")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- CDC apply-stage operators (SURVEY §2 O11/O14/O15, O9 merge) ----
+    "cdc_lww" -> ((s, dir) => {
+      ChangeLog.latestByKey(t(s, dir, "events"), Seq("user_id"), "event_id")
+        .select("user_id", "event_id", "event_type", "value")
+    }),
+    "cdc_first" -> ((s, dir) => {
+      ChangeLog.earliestByKey(t(s, dir, "events"), Seq("user_id"), "event_id")
+        .select("user_id", "event_id", "event_type", "value")
+    }),
+    "cdc_merge" -> ((s, dir) => {
+      val ev = t(s, dir, "events").select("user_id", "event_id", "event_type", "value")
+      val snap = ChangeLog.latestByKey(ev.filter(col("event_id") % 2 === 0), Seq("user_id"), "event_id")
+      val delta = ChangeLog.latestByKey(ev.filter(col("event_id") % 2 === 1), Seq("user_id"), "event_id")
+      ChangeLog.mergeSnapshot(snap, delta, Seq("user_id"))(d => d.getField("event_type") === "error")
+    }),
+    "cdc_op_counts" -> ((s, dir) =>
+      t(s, dir, "events").groupBy(col("event_type")).agg(count(lit(1)).as("n"))),
+    "cdc_lineage" -> ((s, dir) =>
+      // per-key lineage: offset range + applied-op counts (north rule)
+      t(s, dir, "events").groupBy(col("user_id")).agg(
+        count(lit(1)).as("n_events"),
+        min(col("event_id")).as("first_offset"),
+        max(col("event_id")).as("last_offset"),
+        countDistinct(col("event_type")).as("n_op_types"))),
+    "cdc_sessionize" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      t(s, dir, "events")
+        .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+        .withColumn("new_sess",
+          when(col("prev_ts").isNull ||
+               unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts")) > 1800, 1).otherwise(0))
+        .groupBy(col("user_id"))
+        .agg(sum(col("new_sess")).cast("long").as("n_sessions"))
+    }),
+    "stream_window_agg" -> ((s, dir) =>
+      // tumbling 1h event-time window (batch equivalent of the streaming agg)
+      t(s, dir, "events")
+        .groupBy(date_trunc("hour", col("ts")).as("window_start"), col("event_type"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("total_value"))),
+
+    // ---- relational coverage: agg/join/window/sort/setops/scalar ----
+    "q1_agg" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_base_price"),
+          sum(col("l_extendedprice").cast("decimal(18,4)") *
+              (lit(1) - col("l_discount").cast("decimal(18,4)"))).cast("double").as("sum_disc_price"),
+          count(lit(1)).as("count_order"))),
+    "q3_topk" -> ((s, dir) => {
+      val c = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+      val o = t(s, dir, "orders")
+      val l = t(s, dir, "lineitem")
+      c.join(o, c("c_custkey") === o("o_custkey"))
+        .join(l, o("o_orderkey") === l("l_orderkey"))
+        .groupBy(col("o_orderkey"))
+        .agg(sum(col("l_extendedprice").cast("decimal(18,4)") *
+             (lit(1) - col("l_discount").cast("decimal(18,4)"))).cast("double").as("revenue"))
+        .orderBy(col("revenue").desc, col("o_orderkey"))
+        .limit(10)
+    }),
+    "q_join_dim" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val n = broadcast(t(s, dir, "nation"))
+      val r = broadcast(t(s, dir, "region"))
+      c.join(n, c("c_nationkey") === n("n_nationkey"))
+        .join(r, n("n_regionkey") === r("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(count(lit(1)).as("n_cust"), dsum(col("c_acctbal")).as("total_bal"))
+    }),
+    "q_window_running" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
+      t(s, dir, "orders")
+        .withColumn("order_seq", row_number().over(w))
+        .withColumn("running_spend",
+          sum(col("o_totalprice").cast("decimal(18,4)"))
+            .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .cast("double"))
+        .select("o_custkey", "o_orderkey", "order_seq", "running_spend")
+    }),
+    "q_anti_join" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders").filter(col("o_totalprice") > 400000)
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+    }),
+    "q_semi_join" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val l = t(s, dir, "lineitem").filter(col("l_quantity") > 49)
+      o.join(l, o("o_orderkey") === l("l_orderkey"), "left_semi")
+        .select("o_orderkey", "o_totalprice")
+    }),
+    "q_setops" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      ev.filter(col("event_type") === "purchase" && col("value") > 90).select("user_id")
+        .except(ev.filter(col("event_type") === "error" && col("value") > 90).select("user_id"))
+    }),
+    "q_rollup" -> ((s, dir) =>
+      t(s, dir, "events").rollup(col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(coalesce(col("event_type"), lit("ALL")).as("et"), col("n"))),
+    "q_distinct_agg" -> ((s, dir) =>
+      t(s, dir, "events").groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("n_users"),
+             dsum(col("value")).as("total_value"))),
+    "q_scalar_funcs" -> ((s, dir) =>
+      t(s, dir, "orders").select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).as("y"),
+        month(col("o_orderdate")).as("m"),
+        substring(col("o_orderpriority"), 1, 1).as("pri_code"),
+        upper(col("o_orderstatus")).as("status_u"),
+        length(col("o_orderpriority")).as("pri_len"),
+        concat_ws("-", col("o_orderstatus"), col("o_orderpriority")).as("status_pri"),
+        floor(col("o_totalprice")).cast("long").as("price_floor"))),
+    "q_json_extract" -> ((s, dir) =>
+      t(s, dir, "events")
+        .groupBy(col("user_id"))
+        .agg(sum(get_json_object(col("props"), "$.k").cast("long")).as("sum_k"))),
+
+    // ---- training-data text ops ----
+    "doc_tokens" -> ((s, dir) =>
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        TextOps.tokenCount(col("text")).as("n_tokens"),
+        TextOps.fingerprint(col("text")).as("fp"))),
+    "doc_quality" -> ((s, dir) =>
+      TextOps.qualitySignals(t(s, dir, "documents"), "text")
+        .select("doc_id", "n_chars_m", "n_tokens", "n_punct", "n_digits", "n_upper")),
+    "doc_langid" -> ((s, dir) =>
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        TextOps.stopwordHits(col("text")).as("n_stopwords"),
+        TextOps.langIdHeuristic(col("text")).as("lang_pred"))),
+    "doc_dedup_exact" -> ((s, dir) =>
+      DedupOps.exactDedup(t(s, dir, "documents"), "doc_id", "text")),
+    "doc_jaccard_block" -> ((s, dir) => {
+      // blocked word-set Jaccard near-dup: block on (lang, source); integer
+      // intersection/union counts for exact cross-engine parity
+      val d = t(s, dir, "documents").select(
+        col("doc_id"), col("lang"), col("source"),
+        array_distinct(split(trim(col("text")), "\\s+")).as("words"))
+      val a = d.select(col("doc_id").as("id_a"), col("lang"), col("source"), col("words").as("wa"))
+      val b = d.select(col("doc_id").as("id_b"), col("lang"), col("source"), col("words").as("wb"))
+      a.join(b, Seq("lang", "source")).filter(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"),
+          size(array_intersect(col("wa"), col("wb"))).as("n_inter"),
+          size(array_union(col("wa"), col("wb"))).as("n_union"))
+        .filter(col("n_inter") * 2 >= col("n_union"))
+    }),
+
+    // ---- vector similarity ----
+    "ann_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      VectorOps.cosineTopK(emb, "vec_id", "embedding",
+        emb.filter(col("vec_id") < 10), "vec_id", "embedding", 5)
+    }),
+
+    // ---- rows-only (no SQL-expressible oracle): hash-based near-dup + LSH ANN ----
+    "doc_minhash_lsh" -> ((s, dir) =>
+      DedupOps.minHashLshPairs(t(s, dir, "documents"), "doc_id", "text",
+        shingleN = 5, numHashes = 32, rowsPerBand = 4, threshold = 0.4)
+        .select(col("id_a"), col("id_b"))),
+    "doc_simhash" -> ((s, dir) =>
+      DedupOps.simHashPairs(t(s, dir, "documents"), "doc_id", "text",
+        shingleN = 5, maxHamming = 8)),
+    "ann_lsh" -> ((s, dir) =>
+      VectorOps.annLshTopK(t(s, dir, "embeddings"), "vec_id", "embedding", k = 3, bits = 4)),
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "cdc_lww" ->
+      """SELECT user_id, event_id, event_type, value FROM (
+        |  SELECT user_id, event_id, event_type, value,
+        |         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id DESC) rn
+        |  FROM events) WHERE rn = 1""".stripMargin,
+    "cdc_first" ->
+      """SELECT user_id, event_id, event_type, value FROM (
+        |  SELECT user_id, event_id, event_type, value,
+        |         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id ASC) rn
+        |  FROM events) WHERE rn = 1""".stripMargin,
+    "cdc_merge" ->
+      """WITH snap AS (
+        |  SELECT user_id, event_id, event_type, value FROM (
+        |    SELECT user_id, event_id, event_type, value,
+        |           ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id DESC) rn
+        |    FROM events WHERE event_id % 2 = 0) WHERE rn = 1),
+        |delta AS (
+        |  SELECT user_id, event_id, event_type, value FROM (
+        |    SELECT user_id, event_id, event_type, value,
+        |           ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id DESC) rn
+        |    FROM events WHERE event_id % 2 = 1) WHERE rn = 1)
+        |SELECT COALESCE(d.user_id, s.user_id) AS user_id,
+        |       CASE WHEN d.user_id IS NOT NULL THEN d.event_id ELSE s.event_id END AS event_id,
+        |       CASE WHEN d.user_id IS NOT NULL THEN d.event_type ELSE s.event_type END AS event_type,
+        |       CASE WHEN d.user_id IS NOT NULL THEN d.value ELSE s.value END AS value
+        |FROM snap s FULL OUTER JOIN delta d ON s.user_id = d.user_id
+        |WHERE d.user_id IS NULL OR d.event_type <> 'error'""".stripMargin,
+    "cdc_op_counts" ->
+      "SELECT event_type, COUNT(*) AS n FROM events GROUP BY event_type",
+    "cdc_lineage" ->
+      """SELECT user_id, COUNT(*) AS n_events, MIN(event_id) AS first_offset,
+        |       MAX(event_id) AS last_offset, COUNT(DISTINCT event_type) AS n_op_types
+        |FROM events GROUP BY user_id""".stripMargin,
+    "cdc_sessionize" ->
+      """SELECT user_id, SUM(new_sess) AS n_sessions FROM (
+        |  SELECT user_id,
+        |    CASE WHEN prev_ts IS NULL OR date_diff('second', prev_ts, ts) > 1800
+        |         THEN 1 ELSE 0 END AS new_sess
+        |  FROM (SELECT user_id, ts, event_id,
+        |          LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) prev_ts
+        |        FROM events)) GROUP BY user_id""".stripMargin,
+    "stream_window_agg" ->
+      """SELECT date_trunc('hour', ts) AS window_start, event_type,
+        |       COUNT(*) AS n,
+        |       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS sum_disc_price,
+        |  COUNT(*) AS count_order
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "q3_topk" ->
+      """SELECT o_orderkey,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |GROUP BY o_orderkey ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin,
+    "q_join_dim" ->
+      """SELECT r_name, n_name, COUNT(*) AS n_cust,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS total_bal
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name""".stripMargin,
+    "q_window_running" ->
+      """SELECT o_custkey, o_orderkey,
+        |  ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS order_seq,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER (
+        |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend
+        |FROM orders""".stripMargin,
+    "q_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)""".stripMargin,
+    "q_semi_join" ->
+      """SELECT o_orderkey, o_totalprice FROM orders o
+        |WHERE EXISTS (SELECT 1 FROM lineitem l
+        |              WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 49)""".stripMargin,
+    "q_setops" ->
+      """SELECT user_id FROM events WHERE event_type = 'purchase' AND value > 90
+        |EXCEPT
+        |SELECT user_id FROM events WHERE event_type = 'error' AND value > 90""".stripMargin,
+    "q_rollup" ->
+      """SELECT COALESCE(event_type, 'ALL') AS et, COUNT(*) AS n
+        |FROM events GROUP BY ROLLUP(event_type)""".stripMargin,
+    "q_distinct_agg" ->
+      """SELECT event_type, COUNT(DISTINCT user_id) AS n_users,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY event_type""".stripMargin,
+    "q_scalar_funcs" ->
+      """SELECT o_orderkey,
+        |  CAST(year(o_orderdate) AS INT) AS y,
+        |  CAST(month(o_orderdate) AS INT) AS m,
+        |  substr(o_orderpriority, 1, 1) AS pri_code,
+        |  upper(o_orderstatus) AS status_u,
+        |  CAST(length(o_orderpriority) AS INT) AS pri_len,
+        |  concat(o_orderstatus, '-', o_orderpriority) AS status_pri,
+        |  CAST(floor(o_totalprice) AS BIGINT) AS price_floor
+        |FROM orders""".stripMargin,
+    "q_json_extract" ->
+      """SELECT user_id, SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k
+        |FROM events GROUP BY user_id""".stripMargin,
+    "doc_tokens" ->
+      """SELECT doc_id,
+        |  CASE WHEN length(trim(text)) = 0 THEN 0
+        |       ELSE CAST(len(string_split_regex(trim(text), '\s+')) AS INT) END AS n_tokens,
+        |  md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+        |FROM documents""".stripMargin,
+    "doc_quality" ->
+      """SELECT doc_id,
+        |  CAST(length(text) AS INT) AS n_chars_m,
+        |  CASE WHEN length(trim(text)) = 0 THEN 0
+        |       ELSE CAST(len(string_split_regex(trim(text), '\s+')) AS INT) END AS n_tokens,
+        |  CAST(length(text) - length(regexp_replace(text, '[^[:punct:]]', '', 'g')) AS INT) AS n_punct,
+        |  CAST(length(text) - length(regexp_replace(text, '[^0-9]', '', 'g')) AS INT) AS n_digits,
+        |  CAST(length(text) - length(regexp_replace(text, '[^A-Z]', '', 'g')) AS INT) AS n_upper
+        |FROM documents""".stripMargin,
+    "doc_langid" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '(?i)\b(the|and|of|to|in|is|that|for|with|was)\b')) AS INT) AS n_stopwords,
+        |  CASE WHEN (CASE WHEN length(trim(text)) = 0 THEN 0
+        |                  ELSE len(string_split_regex(trim(text), '\s+')) END) > 0
+        |        AND len(regexp_extract_all(text, '(?i)\b(the|and|of|to|in|is|that|for|with|was)\b')) * 100
+        |            >= (CASE WHEN length(trim(text)) = 0 THEN 0
+        |                     ELSE len(string_split_regex(trim(text), '\s+')) END) * 8
+        |       THEN 'en' ELSE 'other' END AS lang_pred
+        |FROM documents""".stripMargin,
+    "doc_dedup_exact" ->
+      """SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
+        |  MIN(doc_id) AS keep_id, COUNT(*) AS group_size
+        |FROM documents GROUP BY 1""".stripMargin,
+    "doc_jaccard_block" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang, source,
+        |         list_distinct(string_split_regex(trim(text), '\s+')) AS words
+        |  FROM documents)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(len(list_intersect(a.words, b.words)) AS INT) AS n_inter,
+        |  CAST(len(list_distinct(list_concat(a.words, b.words))) AS INT) AS n_union
+        |FROM d a JOIN d b ON a.lang = b.lang AND a.source = b.source
+        |WHERE a.doc_id < b.doc_id
+        |  AND len(list_intersect(a.words, b.words)) * 2
+        |      >= len(list_distinct(list_concat(a.words, b.words)))""".stripMargin,
+    "ann_topk" ->
+      """SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank FROM (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |         ROW_NUMBER() OVER (PARTITION BY q.vec_id
+        |           ORDER BY list_cosine_similarity(q.embedding, c.embedding) DESC, c.vec_id) AS rank
+        |  FROM embeddings q CROSS JOIN embeddings c
+        |  WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id)
+        |WHERE rank <= 5""".stripMargin,
+  )
 }

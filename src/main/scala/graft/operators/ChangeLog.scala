@@ -1,0 +1,65 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Generic change-log operators: the column-parameterized core of the CDC
+  * apply stage (reference semantics: DebeziumTransform.scala:700-759 —
+  * last-writer-wins reduce, delete filter, final projection).
+  *
+  * Design for scale: LWW is a declarative hash aggregate (`max_by` over a
+  * packed struct). Catalyst plans it as partial aggregation (map-side
+  * combine) + final aggregation, so each map task emits at most one row per
+  * key — a hot key ("skewed conversation") never concentrates more than
+  * #partitions rows on a single reducer. This is the property the reference
+  * comment at DebeziumTransform.scala:693-695 relies on, expressed natively
+  * so whole-stage codegen applies.
+  */
+object ChangeLog {
+
+  /** Keep the row with the greatest `orderCol` per key (last-writer-wins).
+    * `orderCol` must be a total order within a key (e.g. Kafka offset /
+    * LSN); ties break on the packed payload struct to stay deterministic.
+    */
+  def latestByKey(df: DataFrame, keyCols: Seq[String], orderCol: String): DataFrame = {
+    val payloadCols = df.columns.filterNot(keyCols.contains).toSeq
+    val packed = struct(payloadCols.map(col): _*)
+    df.groupBy(keyCols.map(col): _*)
+      .agg(max_by(packed, struct(col(orderCol), packed)).as("_latest"))
+      .select(keyCols.map(col) ++ payloadCols.map(c => col(s"_latest.$c").as(c)): _*)
+  }
+
+  /** Earliest row per key (first-writer-wins) — dedup keeping the original. */
+  def earliestByKey(df: DataFrame, keyCols: Seq[String], orderCol: String): DataFrame = {
+    val payloadCols = df.columns.filterNot(keyCols.contains).toSeq
+    val packed = struct(payloadCols.map(col): _*)
+    df.groupBy(keyCols.map(col): _*)
+      .agg(min_by(packed, struct(col(orderCol), packed)).as("_first"))
+      .select(keyCols.map(col) ++ payloadCols.map(c => col(s"_first.$c").as(c)): _*)
+  }
+
+  /** Merge a reduced delta set into a snapshot: full-outer join on the key;
+    * when a delta row exists it wins, and if `isDelete(deltaStruct)` holds
+    * the key is dropped entirely (reference: cogroup state-injection
+    * DebeziumTransform.scala:660-680 + delete filter :716-717,757-758 —
+    * generalized to MERGE INTO semantics).
+    *
+    * Both inputs must already be ≤1 row per key (run [[latestByKey]]
+    * first). `snapshot`'s payload columns must be a subset of `delta`'s.
+    */
+  def mergeSnapshot(
+      snapshot: DataFrame,
+      delta: DataFrame,
+      keyCols: Seq[String])(isDelete: Column => Column): DataFrame = {
+    val payloadCols = snapshot.columns.filterNot(keyCols.contains).toSeq
+    val snap = snapshot.select(
+      keyCols.map(col) :+ struct(payloadCols.map(col): _*).as("_snap"): _*)
+    val dlt = delta.select(
+      keyCols.map(col) :+ struct(delta.columns.filterNot(keyCols.contains).map(col).toSeq: _*).as("_delta"): _*)
+    snap.join(dlt, keyCols, "full_outer")
+      .filter(col("_delta").isNull || !isDelete(col("_delta")))
+      .select(keyCols.map(col) ++ payloadCols.map { c =>
+        when(col("_delta").isNotNull, col(s"_delta.$c")).otherwise(col(s"_snap.$c")).as(c)
+      }: _*)
+  }
+}

@@ -1,0 +1,93 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Vector similarity operators over `array<float>` embedding columns.
+  *
+  * Scale design: the brute-force path broadcasts the (small) query set and
+  * computes dot products with higher-order functions inside codegen —
+  * no UDF, no RDD. The LSH path buckets vectors by random-hyperplane
+  * signatures so at 100 TB each probe only joins its own bucket (equi-join
+  * on the signature) instead of the full corpus.
+  */
+object VectorOps {
+
+  /** Dot product of two array<float/double> columns (float64 accumulate). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** L2 norm. */
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Cosine similarity (null when either vector has zero norm). */
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Brute-force cosine top-k: for every query vector, the `k` nearest
+    * corpus vectors by cosine (descending), rank 1..k. The query side is
+    * broadcast; output carries ids + rank (ranks are stable across engines
+    * even when the float similarity differs in the last ulp). */
+  def cosineTopK(corpus: DataFrame, idCol: String, vecCol: String,
+      queries: DataFrame, qIdCol: String, qVecCol: String, k: Int): DataFrame = {
+    val q = queries.select(col(qIdCol).as("query_id"), col(qVecCol).as("_qv"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("_cv"))
+    val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("_qv"), col("_cv")).as("sim"))
+    // top-k per query via max_by on packed struct would need k>1; use window.
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank")
+  }
+
+  /** Random-hyperplane LSH signature: `bits` sign bits of dot products with
+    * deterministic pseudo-random hyperplanes derived from xxhash64 of
+    * (seed, dimension index) — reproducible with no stored model. */
+  def rhpSignature(vec: Column, bits: Int, seed: Int = 42): Column = {
+    (0 until bits).map { b =>
+      // hyperplane component h(b, i) in [-1, 1): hash to [0,1) then shift
+      val proj = aggregate(
+        zip_with(vec, sequence(lit(0), size(vec) - 1), (v, i) =>
+          v.cast("double") *
+            ((pmod(xxhash64(lit(seed), lit(b), i), lit(1000003L)).cast("double") / 500001.5) - 1.0)),
+        lit(0.0), (acc, x) => acc + x)
+      when(proj >= 0, shiftleft(lit(1L), b)).otherwise(lit(0L))
+    }.reduce((x, y) => x.bitwiseOR(y))
+  }
+
+  /** Bucketed ANN: candidates share the RHP signature bucket; exact cosine
+    * re-rank inside the bucket. Recall is tunable via `bits` (fewer bits →
+    * bigger buckets → higher recall, more compute). */
+  def annLshTopK(corpus: DataFrame, idCol: String, vecCol: String, k: Int,
+      bits: Int = 8): DataFrame = {
+    val sig = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .withColumn("bucket", rhpSignature(col("v"), bits))
+    val a = sig.select(col("id").as("query_id"), col("v").as("_qv"), col("bucket"))
+    val b = sig.select(col("id").as("neighbor_id"), col("v").as("_cv"), col("bucket"))
+    val scored = a.join(b, Seq("bucket")).filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), cosine(col("_qv"), col("_cv")).as("sim"))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank")
+  }
+
+  /** Embedding-cosine near-duplicate pairs above `threshold` (id_a<id_b),
+    * LSH-blocked on the RHP signature to avoid the O(n²) cross join. */
+  def cosineDupPairs(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, bits: Int = 6): DataFrame = {
+    val sig = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .withColumn("bucket", rhpSignature(col("v"), bits))
+    val a = sig.select(col("id").as("id_a"), col("v").as("_va"), col("bucket"))
+    val b = sig.select(col("id").as("id_b"), col("v").as("_vb"), col("bucket"))
+    a.join(b, Seq("bucket")).filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), cosine(col("_va"), col("_vb")).as("sim"))
+      .filter(col("sim") >= threshold)
+  }
+}
