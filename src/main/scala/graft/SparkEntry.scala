@@ -4,7 +4,11 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
+import graft.apply.CdcApply
+import graft.decode.{DecodeOptions, EnvelopeDecoder}
+import graft.model.{CdcColumn, CdcSchema}
 import graft.operators.{ChangeLog, DedupOps, TextOps, VectorOps}
+import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType, StringType}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -71,6 +75,50 @@ object SparkEntry {
       t(s, dir, "events")
         .groupBy(date_trunc("hour", col("ts")).as("window_start"), col("event_type"))
         .agg(count(lit(1)).as("n"), dsum(col("value")).as("total_value"))),
+
+    "cdc_envelope_roundtrip" -> ((s, dir) => {
+      // full engine path: rows → Debezium JSON envelopes (expressions) →
+      // EnvelopeDecoder (from_json + coercions) → LWW apply → final state.
+      // Workload: every customer row is a 'c' event; custkey%3==0 get a
+      // 'u' rewriting c_name; custkey%7==0 get a trailing 'd'.
+      val schema = CdcSchema(Seq(
+        CdcColumn("c_custkey", LongType, nullable = false, keyPart = true),
+        CdcColumn("c_name", StringType, nullable = false),
+        CdcColumn("c_nationkey", IntegerType, nullable = false),
+        CdcColumn("c_acctbal", DoubleType, nullable = false),
+        CdcColumn("c_mktsegment", StringType, nullable = false)))
+      val c = t(s, dir, "customer")
+      def envelope(row: Column, op: String, offset: Column): Column =
+        to_json(struct(struct(
+          row.as("after"),
+          struct(lit("mysql").as("connector")).as("source"),
+          lit(op).as("op")).as("payload")))
+      val base = c.select(
+        to_json(struct(struct(col("c_custkey")).as("payload"))).cast("binary").as("key"),
+        envelope(struct(c.columns.map(col): _*), "c", col("c_custkey")).cast("binary").as("value"),
+        lit("cdc.customer").as("topic"), lit(0).as("partition"),
+        col("c_custkey").as("offset"))
+      val upd = c.filter(col("c_custkey") % 3 === 0).select(
+        to_json(struct(struct(col("c_custkey")).as("payload"))).cast("binary").as("key"),
+        envelope(struct(
+          col("c_custkey"), concat(col("c_name"), lit(" rev2")).as("c_name"),
+          col("c_nationkey"), col("c_acctbal"), col("c_mktsegment")), "u",
+          col("c_custkey")).cast("binary").as("value"),
+        lit("cdc.customer").as("topic"), lit(0).as("partition"),
+        (col("c_custkey") + 10000000L).as("offset"))
+      val del = c.filter(col("c_custkey") % 7 === 0).select(
+        to_json(struct(struct(col("c_custkey")).as("payload"))).cast("binary").as("key"),
+        to_json(struct(struct(
+          struct(lit("mysql").as("connector")).as("source"),
+          lit("d").as("op")).as("payload"))).cast("binary").as("value"),
+        lit("cdc.customer").as("topic"), lit(0).as("partition"),
+        (col("c_custkey") + 20000000L).as("offset"))
+      val events = EnvelopeDecoder.decodeRelational(
+        base.unionByName(upd).unionByName(del), schema,
+        DecodeOptions(strict = false, validate = true))
+      CdcApply.applyNonStrict(events)
+        .select("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment", "_offset")
+    }),
 
     // ---- relational coverage: agg/join/window/sort/setops/scalar ----
     "q1_agg" -> ((s, dir) =>
@@ -233,6 +281,12 @@ object SparkEntry {
         |WHERE d.user_id IS NULL OR d.event_type <> 'error'""".stripMargin,
     "cdc_op_counts" ->
       "SELECT event_type, COUNT(*) AS n FROM events GROUP BY event_type",
+    "cdc_envelope_roundtrip" ->
+      """SELECT c_custkey,
+        |  CASE WHEN c_custkey % 3 = 0 THEN c_name || ' rev2' ELSE c_name END AS c_name,
+        |  c_nationkey, c_acctbal, c_mktsegment,
+        |  CASE WHEN c_custkey % 3 = 0 THEN c_custkey + 10000000 ELSE c_custkey END AS _offset
+        |FROM customer WHERE c_custkey % 7 <> 0""".stripMargin,
     "cdc_lineage" ->
       """SELECT user_id, COUNT(*) AS n_events, MIN(event_id) AS first_offset,
         |       MAX(event_id) AS last_offset, COUNT(DISTINCT event_type) AS n_op_types
