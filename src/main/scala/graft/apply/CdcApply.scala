@@ -68,6 +68,82 @@ object CdcApply {
       .unionByName(stateEvents)
   }
 
+  /** Strict MERGE-ready deltas: per key, validate the in-batch transition
+    * chain (offset-ordered), then emit ONE delta row carrying
+    *  - the winning (last) event's payload + operation + offset, and
+    *  - `_first_op` / `_first_before`: the first event's precondition,
+    * so the lake MERGE can finish the validation against the snapshot row
+    * it joins with (c/r requires no snapshot row; u/d requires the
+    * snapshot row to equal the first before-image). This distributes the
+    * reference's initial-state cogroup validation (DebeziumTransform.
+    * scala:660-680 + :472-496) through the merge join instead of
+    * re-reading the whole table state per batch — the 10^10-row strict
+    * path. Relational connectors only (Mongo patch chains need the base
+    * row; use applyStrict + withInitialState for Mongo).
+    */
+  def strictDeltas(events: DataFrame, schema: CdcSchema): DataFrame = {
+    import org.apache.spark.sql.types._
+    val payloadType = schema.structType
+    val keyNames = schema.keyNames
+    val payloadNames = payloadType.fieldNames.filterNot(keyNames.contains).toSeq
+    val outSchema = StructType(
+      schema.keyColumns.map(c => StructField(c.name, c.dataType, c.nullable)) ++
+      payloadNames.map(n => payloadType(payloadType.fieldIndex(n)).copy(nullable = true)) ++
+      Seq(StructField("operation", StringType, nullable = false),
+        StructField("offset", LongType, nullable = false),
+        StructField("n_events", LongType, nullable = false),
+        StructField("_first_op", StringType, nullable = false),
+        StructField("_first_before", payloadType, nullable = true)))
+    implicit val enc = Encoders.row(outSchema)
+    val keyIdxInPayload = keyNames.map(payloadType.fieldIndex)
+    val payloadIdx = payloadNames.map(payloadType.fieldIndex)
+
+    events.groupByKey(_.getString(IKey))(Encoders.STRING)
+      .flatMapGroups { (key: String, it: Iterator[Row]) =>
+        val evs = it.toArray.sortBy(_.getLong(IOffset))
+        validateTransitions(key, evs) // in-batch adjacent-pair checks
+        val first = evs.head
+        val last = evs.last
+        val lastOp = last.getString(IOperation)
+        // typed key values from the pk struct (present even for deletes)
+        val pk = last.getStruct(7 /* pk appended after keyMask */)
+        val payload: Seq[Any] =
+          if (last.isNullAt(IAfter)) Seq.fill(payloadIdx.length)(null)
+          else { val a = last.getStruct(IAfter); payloadIdx.map(a.get) }
+        val firstBefore =
+          if (first.isNullAt(IBefore)) null else first.getStruct(IBefore)
+        Iterator.single(Row.fromSeq(
+          (0 until pk.length).map(pk.get) ++ payload ++
+          Seq(lastOp, last.getLong(IOffset), evs.length.toLong,
+            first.getString(IOperation), firstBefore)))
+      }
+  }
+
+  /** Adjacent-pair chain checks only (the first event's precondition is
+    * validated downstream against the snapshot). */
+  private def validateTransitions(key: String, evs: Array[Row]): Unit = {
+    def img(r: Row, idx: Int): Seq[Any] =
+      if (r.isNullAt(idx)) null else r.getStruct(idx).toSeq.dropRight(1)
+    var i = 1
+    while (i < evs.length) {
+      val prev = evs(i - 1); val next = evs(i)
+      next.getString(IOperation) match {
+        case OpCreate | OpRead =>
+          if (!prev.isNullAt(IAfter))
+            throw new IllegalStateException(
+              s"key '$key': expected previous value to be null for operation 'c'/'r' at offset ${next.getLong(IOffset)}")
+        case OpUpdate | OpDelete =>
+          if (prev.isNullAt(IAfter) || next.isNullAt(IBefore) ||
+              img(prev, IAfter) != img(next, IBefore))
+            throw new IllegalStateException(
+              s"key '$key': expected previous value to equal next before value at offset ${next.getLong(IOffset)}")
+        case other =>
+          throw new IllegalStateException(s"key '$key': unknown operation '$other'")
+      }
+      i += 1
+    }
+  }
+
   /** Strict apply: offset-ordered chain validation per key.
     * Throws on an invalid transition (mirrors validateEvents /
     * applyMongoPatch, reference :472-524). */

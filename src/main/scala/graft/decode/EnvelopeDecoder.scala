@@ -147,6 +147,11 @@ object EnvelopeDecoder {
         .otherwise(before0)
     } else before0
 
+    // typed primary-key struct from the Kafka key (always present, even for
+    // deletes where `after` is null) — feeds the lake MERGE bucket routing
+    val pkCol = struct(schema.keyColumns.map(c =>
+      coerce(c, col(s"_k.payload.${c.name}"))): _*)
+
     parsed.select(
       keyCol.as("key"),
       col("offset"),
@@ -154,6 +159,25 @@ object EnvelopeDecoder {
       op.as("operation"),
       before.as("before"),
       after.as("after"),
-      lit(null).cast(ArrayType(StringType, containsNull = false)).as("keyMask"))
+      lit(null).cast(ArrayType(StringType, containsNull = false)).as("keyMask"),
+      pkCol.as("pk"))
+  }
+
+  /** Reduce decoded events to MERGE-ready deltas: ≤1 row per key via LWW,
+    * columns = typed key cols + non-key payload + lineage + `operation`.
+    * Key columns come from the Kafka key so delete rows route correctly. */
+  def toDeltas(events: DataFrame, schema: CdcSchema): DataFrame = {
+    val reduced = events
+      .groupBy(col("key"))
+      .agg(max_by(struct(col("operation"), col("offset"), col("after"), col("pk")),
+        col("offset")).as("_w"),
+        count(lit(1)).as("n_events"))
+    val keyNames = schema.keyNames.toSet
+    val payloadCols = schema.structType.fieldNames.filterNot(keyNames.contains).toSeq
+    reduced.select(
+      schema.keyNames.map(n => col(s"_w.pk.$n").as(n)) ++
+      payloadCols.map(n => col(s"_w.after.$n").as(n)) ++
+      Seq(col("_w.operation").as("operation"), col("_w.offset").as("offset"),
+        col("n_events")): _*)
   }
 }

@@ -1,0 +1,330 @@
+package graft.lake
+
+import scala.collection.JavaConverters._
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import com.fasterxml.jackson.databind.node.ObjectNode
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DataType, StructType}
+
+/** Minimal Iceberg-style snapshot-committed Parquet table.
+  *
+  * Layout:
+  * {{{
+  *   <root>/metadata/v%05d.json     -- immutable snapshot metadata
+  *   <root>/metadata/version-hint.text
+  *   <root>/data/commit-<v>/_bucket=<k>/part-*.parquet
+  * }}}
+  *
+  * Semantics (the subset of the Iceberg spec the north rule needs):
+  *  - a snapshot is an immutable list of data files; readers only see
+  *    files referenced by a committed snapshot (orphan files from failed
+  *    commits are invisible);
+  *  - commits are atomic via filesystem rename of the next version file
+  *    (atomic on HDFS and local fs; single-writer streaming assumed);
+  *  - idempotent re-commit: each snapshot records `(checkpointId →
+  *    lastBatchId)`; replaying an already-applied micro-batch is a no-op —
+  *    this is the exactly-once anchor for `foreachBatch` replay;
+  *  - schema evolution: additive nullable columns recorded in metadata;
+  *    old files read through the new schema (missing columns → null);
+  *  - time travel: read any retained version — used by the replay-parity
+  *    tests;
+  *  - data is hash-bucketed by key so MERGE only reads + rewrites the
+  *    buckets the delta batch touches (copy-on-write partition pruning:
+  *    at 10^10 rows a batch touching 5% of buckets reads 5% of the table).
+  *  - per-commit lineage: op counts, source offset range, rows written —
+  *    the north rule's per-partition lineage + metrics.
+  */
+class LakeTable(val spark: SparkSession, val root: String) {
+
+  private val mapper = new ObjectMapper()
+  private def fs: FileSystem = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+  private def metaDir = new Path(root, "metadata")
+  private def versionFile(v: Int) = new Path(metaDir, f"v$v%05d.json")
+
+  case class DataFile(path: String, bucket: Int)
+  case class Snapshot(
+      version: Int,
+      schema: StructType,
+      keyColumns: Seq[String],
+      nBuckets: Int,
+      files: Seq[DataFile],
+      commits: Map[String, Long],
+      lineage: Option[JsonNode])
+
+  // ------------------------------------------------------------ metadata
+
+  def currentVersion: Option[Int] = {
+    if (!fs.exists(metaDir)) return None
+    val versions = fs.listStatus(metaDir).map(_.getPath.getName)
+      .filter(n => n.startsWith("v") && n.endsWith(".json"))
+      .map(n => n.stripPrefix("v").stripSuffix(".json").toInt)
+    if (versions.isEmpty) None else Some(versions.max)
+  }
+
+  def snapshot(version: Int): Snapshot = {
+    val node = mapper.readTree(readFully(versionFile(version)))
+    Snapshot(
+      version = node.get("version").asInt(),
+      schema = DataType.fromJson(node.get("schemaJson").asText()).asInstanceOf[StructType],
+      keyColumns = node.get("keyColumns").elements().asScala.map(_.asText()).toSeq,
+      nBuckets = node.get("nBuckets").asInt(),
+      files = node.get("files").elements().asScala.map { f =>
+        DataFile(f.get("path").asText(), f.get("bucket").asInt())
+      }.toSeq,
+      commits = node.get("commits").fields().asScala
+        .map(e => e.getKey -> e.getValue.asLong()).toMap,
+      lineage = Option(node.get("lineage")))
+  }
+
+  def currentSnapshot: Option[Snapshot] = currentVersion.map(snapshot)
+
+  private def readFully(p: Path): String = {
+    val in = fs.open(p)
+    try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+  }
+
+  private def writeSnapshot(s: Snapshot): Unit = {
+    val lineage: JsonNode = s.lineage.orNull
+    val node = mapper.createObjectNode()
+    node.put("version", s.version)
+    node.put("schemaJson", s.schema.json)
+    val kc = node.putArray("keyColumns"); s.keyColumns.foreach(kc.add)
+    node.put("nBuckets", s.nBuckets)
+    val fa = node.putArray("files")
+    s.files.foreach { f =>
+      val o = fa.addObject(); o.put("path", f.path); o.put("bucket", f.bucket)
+    }
+    val cm = node.putObject("commits")
+    s.commits.foreach { case (k, v) => cm.put(k, v) }
+    if (lineage != null) node.set[ObjectNode]("lineage", lineage.deepCopy())
+
+    val target = versionFile(s.version)
+    if (fs.exists(target))
+      throw new IllegalStateException(s"concurrent commit: $target already exists")
+    val tmp = new Path(metaDir, s"v${s.version}.json.tmp-${java.util.UUID.randomUUID()}")
+    val out = fs.create(tmp, false)
+    try out.write(mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(node))
+    finally out.close()
+    // rename is atomic on HDFS/local; fails (false) if target appeared
+    if (!fs.rename(tmp, target)) {
+      fs.delete(tmp, false)
+      throw new IllegalStateException(s"concurrent commit: rename to $target failed")
+    }
+    val hint = new Path(metaDir, "version-hint.text")
+    val h = fs.create(hint, true)
+    try h.write(s.version.toString.getBytes("UTF-8")) finally h.close()
+  }
+
+  // ------------------------------------------------------------ lifecycle
+
+  def create(schema: StructType, keyColumns: Seq[String], nBuckets: Int = 32): Unit = {
+    require(currentVersion.isEmpty, s"table already exists at $root")
+    fs.mkdirs(metaDir)
+    writeSnapshot(Snapshot(0, schema, keyColumns, nBuckets, Nil, Map.empty, None))
+  }
+
+  /** Additive schema evolution: new nullable columns appended; existing
+    * files remain readable (missing columns read as null). */
+  def evolveSchema(newSchema: StructType): Snapshot = {
+    val cur = currentSnapshot.getOrElse(sys.error(s"no table at $root"))
+    val existing = cur.schema.fieldNames.toSet
+    val added = newSchema.fields.filterNot(f => existing.contains(f.name))
+    require(added.forall(_.nullable), "evolved columns must be nullable")
+    require(cur.schema.fieldNames.forall(newSchema.fieldNames.contains),
+      "column drops are not supported")
+    val next = cur.copy(version = cur.version + 1, schema = newSchema,
+      lineage = Some(lineageNode("evolveSchema",
+        Map("addedColumns" -> added.map(_.name).mkString(",")))))
+    writeSnapshot(next)
+    next
+  }
+
+  private def lineageNode(opType: String, kv: Map[String, String]): ObjectNode = {
+    val o = mapper.createObjectNode()
+    o.put("operation", opType)
+    kv.foreach { case (k, v) => o.put(k, v) }
+    o
+  }
+
+  // ------------------------------------------------------------ read
+
+  private def bucketCol(keyColumns: Seq[String], nBuckets: Int) =
+    pmod(hash(keyColumns.map(col): _*), lit(nBuckets))
+
+  /** Read a snapshot (current by default). Missing columns in old files
+    * surface as null through the declared schema. */
+  def read(version: Option[Int] = None): DataFrame = {
+    val snap = version.map(snapshot).orElse(currentSnapshot)
+      .getOrElse(sys.error(s"no table at $root"))
+    readFiles(snap, snap.files)
+  }
+
+  private def readFiles(snap: Snapshot, files: Seq[DataFile]): DataFrame =
+    if (files.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], snap.schema)
+    else
+      spark.read.schema(snap.schema).parquet(files.map(f => s"$root/${f.path}"): _*)
+
+  // ------------------------------------------------------------ write
+
+  /** List parquet files written under a commit dir, keyed by bucket. */
+  private def listCommitFiles(commitDir: Path): Seq[DataFile] = {
+    val it = fs.listFiles(commitDir, true)
+    val buf = Seq.newBuilder[DataFile]
+    while (it.hasNext) {
+      val f = it.next()
+      val p = f.getPath.toString
+      if (p.endsWith(".parquet")) {
+        val rel = p.substring(p.indexOf(root) + root.length + 1)
+        val bucket = "_bucket=(\\d+)".r.findFirstMatchIn(p)
+          .map(_.group(1).toInt).getOrElse(0)
+        buf += DataFile(rel, bucket)
+      }
+    }
+    buf.result()
+  }
+
+  /** Bulk append (initial seed): bucket + write + commit. */
+  def append(df: DataFrame, commitId: String = "append", batchId: Long = 0L): Snapshot = {
+    val cur = currentSnapshot.getOrElse(sys.error(s"no table at $root"))
+    if (cur.commits.get(commitId).exists(_ >= batchId)) return cur
+    val commitRel = s"data/commit-${cur.version + 1}"
+    val commitDir = new Path(root, commitRel)
+    df.withColumn("_bucket", bucketCol(cur.keyColumns, cur.nBuckets))
+      .write.partitionBy("_bucket").parquet(commitDir.toString)
+    val newFiles = listCommitFiles(commitDir)
+    val next = cur.copy(version = cur.version + 1,
+      files = cur.files ++ newFiles,
+      commits = cur.commits + (commitId -> batchId),
+      lineage = Some(lineageNode("append",
+        Map("newFiles" -> newFiles.size.toString, "batchId" -> batchId.toString))))
+    writeSnapshot(next)
+    next
+  }
+
+  /** MERGE a reduced delta batch (output of EnvelopeDecoder.toDeltas:
+    * key cols + payload cols + `operation` + `offset`, ≤1 row per key)
+    * into the table. Copy-on-write limited to affected buckets.
+    *
+    * Idempotent on (checkpointId, batchId): replaying a batch that a
+    * committed snapshot already records is a no-op — the exactly-once
+    * contract used by the streaming `foreachBatch` sink.
+    */
+  def merge(deltas: DataFrame, checkpointId: String, batchId: Long,
+      strictValidate: Boolean = false): Snapshot = {
+    val t0 = System.nanoTime()
+    val cur = currentSnapshot.getOrElse(sys.error(s"no table at $root"))
+    if (cur.commits.get(checkpointId).exists(_ >= batchId)) return cur
+
+    val keyCols = cur.keyColumns
+    val nb = cur.nBuckets
+    val payloadCols = cur.schema.fieldNames.filterNot(keyCols.contains).toSeq
+
+    // deltas are consumed twice (stats pass + merge join): persist the
+    // reduced batch rather than re-running decode+reduce upstream
+    val withBucket = deltas.withColumn("_bucket", bucketCol(keyCols, nb))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    // lineage aggregates + affected buckets in ONE pass over the deltas
+    val eventsCol: org.apache.spark.sql.Column =
+      if (deltas.columns.contains("n_events")) sum(col("n_events")).cast("long")
+      else count(lit(1))
+    val stats = withBucket.groupBy(col("_bucket"))
+      .agg(eventsCol.as("n"),
+        sum(when(col("operation") === "d", 1).otherwise(0)).as("n_del"),
+        sum(when(col("operation").isin("c", "r"), 1).otherwise(0)).as("n_ins"),
+        sum(when(col("operation") === "u", 1).otherwise(0)).as("n_upd"),
+        min(col("offset")).as("min_off"), max(col("offset")).as("max_off"),
+        count(lit(1)).as("n_keys"))
+      .collect()
+    if (stats.isEmpty) { // empty batch: just record the commit
+      withBucket.unpersist()
+      val next = cur.copy(version = cur.version + 1,
+        commits = cur.commits + (checkpointId -> batchId),
+        lineage = Some(lineageNode("merge", Map(
+          "batchId" -> batchId.toString, "checkpointId" -> checkpointId,
+          "events" -> "0"))))
+      writeSnapshot(next)
+      return next
+    }
+    val affected = stats.map(_.getInt(0)).toSet
+    val (affectedFiles, keptFiles) = cur.files.partition(f => affected.contains(f.bucket))
+
+    val snapDf = readFiles(cur, affectedFiles)
+    // pack both sides; delta wins, op='d' drops the key
+    val s = snapDf.select(keyCols.map(col) :+ struct(payloadCols.map(col): _*).as("_snap"): _*)
+    val deltaExtraCols = withBucket.columns
+      .filter(c => c == "operation" || c.startsWith("_first_")).toSeq
+    val d = withBucket.select(keyCols.map(col) :+
+      struct((payloadCols ++ deltaExtraCols).map(col): _*).as("_delta"): _*)
+    val joined = s.join(d, keyCols, "full_outer")
+
+    // strict cross-batch validation: the batch's first-op precondition
+    // against the snapshot row (reference validateEvents semantics,
+    // distributed through the merge join — no state re-read)
+    val validated = if (strictValidate) {
+      val cmp = payloadCols.filterNot(_ == "_offset")
+      val beforeImg = struct(cmp.map(c => col(s"_delta._first_before.$c")): _*)
+      val snapImg = struct(cmp.map(c => col(s"_snap.$c")): _*)
+      val ok = col("_delta").isNull ||
+        when(col("_delta._first_op").isin("c", "r"), col("_snap").isNull)
+          .otherwise(col("_snap").isNotNull && (beforeImg <=> snapImg))
+      joined.filter(
+        when(assert_true(ok, concat(lit("strict merge violation: key="),
+          concat_ws("|", keyCols.map(c => col(c).cast("string")): _*),
+          lit(" first_op="), col("_delta._first_op"))).isNull, lit(true)))
+    } else joined
+
+    val merged = validated
+      .filter(col("_delta").isNull || col("_delta.operation") =!= "d")
+      .select(keyCols.map(col) ++ payloadCols.map { c =>
+        when(col("_delta").isNotNull, col(s"_delta.$c")).otherwise(col(s"_snap.$c")).as(c)
+      }: _*)
+
+    val commitRel = s"data/commit-${cur.version + 1}"
+    val commitDir = new Path(root, commitRel)
+    // one output file per affected bucket: route rows to their bucket's
+    // task before the partitioned write (otherwise every task splits into
+    // every bucket → tasks×buckets small files)
+    merged.withColumn("_bucket", bucketCol(keyCols, nb))
+      .repartition(affected.size, col("_bucket"))
+      .write.partitionBy("_bucket").parquet(commitDir.toString)
+    val newFiles = listCommitFiles(commitDir)
+    withBucket.unpersist()
+
+    val durMs = (System.nanoTime() - t0) / 1000000
+    val events = stats.map(_.getLong(1)).sum
+    val lineage = mapper.createObjectNode()
+    lineage.put("operation", "merge")
+    lineage.put("checkpointId", checkpointId)
+    lineage.put("batchId", batchId)
+    lineage.put("events", events)
+    lineage.put("keys", stats.map(_.getLong(7)).sum)
+    lineage.put("inserts", stats.map(_.getLong(3)).sum)
+    lineage.put("updates", stats.map(_.getLong(4)).sum)
+    lineage.put("deletes", stats.map(_.getLong(2)).sum)
+    lineage.put("offsetMin", stats.map(_.getLong(5)).min)
+    lineage.put("offsetMax", stats.map(_.getLong(6)).max)
+    lineage.put("affectedBuckets", affected.size)
+    lineage.put("rewrittenFiles", affectedFiles.size)
+    lineage.put("keptFiles", keptFiles.size)
+    lineage.put("durationMs", durMs)
+    val perBucket = lineage.putArray("bucketLineage")
+    stats.sortBy(_.getInt(0)).foreach { r =>
+      val o = perBucket.addObject()
+      o.put("bucket", r.getInt(0)); o.put("events", r.getLong(1))
+      o.put("offsetMin", r.getLong(5)); o.put("offsetMax", r.getLong(6))
+    }
+
+    val next = cur.copy(version = cur.version + 1,
+      files = keptFiles ++ newFiles,
+      commits = cur.commits + (checkpointId -> batchId),
+      lineage = Some(lineage))
+    writeSnapshot(next)
+    next
+  }
+}

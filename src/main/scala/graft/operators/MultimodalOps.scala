@@ -1,0 +1,114 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Encoders, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal-column plumbing for training-data pipelines: image/audio/
+  * video payloads travel as opaque `binary` columns with a typed metadata
+  * struct; decode / resize / frame-sample / feature-extraction run as
+  * partition-batched typed transforms (the Scala analog of `mapInPandas`
+  * batching: one iterator per partition, rows streamed through).
+  *
+  * The actual codecs are STUBBED (no image/audio libraries in this
+  * environment): `decodeMeta` parses our deterministic synthetic header
+  * and `extractFeatures` hashes content chunks into a fixed-width
+  * embedding. The Spark-side contract — schema, partitioning, batch
+  * iteration, null handling — is real and tested; swapping in a real
+  * codec only changes the per-row kernel.
+  */
+object MultimodalOps {
+
+  val Formats = Seq("png", "jpeg", "webp")
+
+  val metaType: StructType = StructType(Seq(
+    StructField("format", StringType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("n_bytes", IntegerType)))
+
+  /** Deterministic synthetic asset: 16-byte header
+    * [magic(4) | formatIdx(4) | width(4) | height(4)] + pseudo-random body
+    * derived from the id — a stand-in for a real encoded image. */
+  def syntheticAsset(id: Column, bodyLen: Column): Column = {
+    val fmtIdx = pmod(id, lit(Formats.size)).cast("int")
+    val w = (lit(64) + pmod(id * 37, lit(960))).cast("int")
+    val h = (lit(64) + pmod(id * 53, lit(960))).cast("int")
+    concat(
+      lit(Array[Byte](0x47, 0x52, 0x46, 0x54)), // "GRFT"
+      int32be(fmtIdx), int32be(w), int32be(h),
+      // body: repeated hash bytes, truncated to bodyLen
+      substr(repeat(sha2(id.cast("string"), 256), 40).cast("binary"), lit(1), bodyLen))
+  }
+
+  private def int32be(v: Column): Column =
+    concat(
+      chrByte(shiftright(v, 24)), chrByte(shiftright(v, 16)),
+      chrByte(shiftright(v, 8)), chrByte(v))
+  private def chrByte(v: Column): Column =
+    // single byte binary from the low 8 bits
+    substr(unhex(lpad(hex(v.bitwiseAND(255)), 2, "0")), lit(1), lit(1))
+
+  /** STUB "decode": parse the synthetic header into the typed metadata
+    * struct — pure expressions, no UDF. A real decoder would replace the
+    * header parse with a codec call inside `mapPartitionsBatched`. */
+  def decodeMeta(content: Column): Column = {
+    def beInt(off: Int): Column =
+      (conv(hex(substr(content, lit(off), lit(4))), 16, 10)).cast("long").cast("int")
+    struct(
+      element_at(array(Formats.map(lit): _*), (beInt(5) % Formats.size) + 1).as("format"),
+      beInt(9).as("width"),
+      beInt(13).as("height"),
+      length(content).cast("int").as("n_bytes"))
+  }
+
+  /** Partition-batched feature extraction (the mapInPandas analog):
+    * binary content → fixed-width float embedding. STUB kernel: xxhash of
+    * 64-byte chunks, folded into `dim` accumulators, L2-normalized —
+    * deterministic, content-sensitive, no external libs. */
+  def extractFeatures(df: DataFrame, contentCol: String, dim: Int = 16): DataFrame = {
+    val outSchema = StructType(df.schema.fields :+
+      StructField("features", ArrayType(FloatType, containsNull = false)))
+    implicit val enc = Encoders.row(outSchema)
+    val idx = df.schema.fieldIndex(contentCol)
+    df.mapPartitions { it =>
+      it.map { row =>
+        val bytes = row.getAs[Array[Byte]](idx)
+        val acc = new Array[Double](dim)
+        if (bytes != null) {
+          var i = 0
+          while (i < bytes.length) {
+            val end = math.min(i + 64, bytes.length)
+            var h = 1125899906842597L // FNV-ish fold
+            var j = i
+            while (j < end) { h = 31 * h + bytes(j); j += 1 }
+            acc(((h % dim) + dim).toInt % dim) += (h >>> 32).toDouble / (1L << 32).toDouble
+            i = end
+          }
+        }
+        val norm = math.sqrt(acc.map(x => x * x).sum) max 1e-12
+        Row.fromSeq(row.toSeq :+ acc.map(x => (x / norm).toFloat).toSeq)
+      }
+    }
+  }
+
+  /** STUB resize: rewrites the header dims, keeps (truncated) body —
+    * models a bytes→bytes kernel with metadata update. */
+  def resizeStub(content: Column, w: Int, h: Int): Column =
+    concat(substr(content, lit(1), lit(8)),
+      int32be(lit(w)), int32be(lit(h)),
+      substr(content, lit(17), greatest(length(content) - 16, lit(0))))
+
+  /** STUB frame sampling for "video" assets: emit every `everyN`-th 64-byte
+    * body chunk as a frame row (models 1→N explode with frame index). */
+  def sampleFrames(df: DataFrame, contentCol: String, everyN: Int): DataFrame =
+    df.withColumn("_n_chunks",
+        greatest((length(col(contentCol)) - 16) / 64, lit(0)).cast("int"))
+      .withColumn("frame_idx",
+        explode(when(col("_n_chunks") > 0,
+          sequence(lit(0), col("_n_chunks") - 1, lit(everyN)))
+          .otherwise(array().cast("array<int>"))))
+      .withColumn("frame",
+        substr(col(contentCol), lit(17) + col("frame_idx") * 64, lit(64)))
+      .drop("_n_chunks")
+}

@@ -1,0 +1,111 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.decode.{DecodeOptions, EnvelopeDecoder}
+import graft.gen.EnvelopeGen
+import graft.lake.LakeTable
+import graft.model.CdcSchema
+
+class LakeTableSpec extends AnyFunSuite with SparkSessionTestWrapper {
+
+  val schema = CdcSchema.transcripts
+
+  private def tmpTable(): LakeTable = {
+    val dir = Files.createTempDirectory("lake").toString
+    val t = new LakeTable(spark, dir)
+    t.create(schema.structType, schema.keyNames, nBuckets = 8)
+    t
+  }
+
+  private def deltasOf(wl: EnvelopeGen.Workload, filter: Long => Boolean = _ => true) = {
+    val df = EnvelopeGen.toDataFrame(spark, wl).filter(col("offset").isin(
+      wl.ops.indices.filter(i => filter(i.toLong)).map(_.toLong): _*))
+    EnvelopeDecoder.toDeltas(
+      EnvelopeDecoder.decodeRelational(df, schema, DecodeOptions(strict = false)), schema)
+  }
+
+  private def stateSet(df: org.apache.spark.sql.DataFrame) =
+    df.select("conv_id", "turn_idx", "text").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getString(2))).toSet
+
+  private def oracleSet(wl: EnvelopeGen.Workload) =
+    wl.finalState.values.map(t => (t.convId, t.turnIdx, t.text)).toSet
+
+  test("single merge reproduces oracle state") {
+    val wl = EnvelopeGen.workload(seed = 10, nConvs = 20, maxTurns = 4, nTxns = 200)
+    val t = tmpTable()
+    val snap = t.merge(deltasOf(wl), "cp", 0L)
+    assert(snap.version == 1)
+    assert(stateSet(t.read()) == oracleSet(wl))
+  }
+
+  test("chained batch merges reproduce oracle state (incremental ingest)") {
+    val wl = EnvelopeGen.workload(seed = 11, nConvs = 25, maxTurns = 4, nTxns = 400)
+    val n = wl.ops.length
+    val t = tmpTable()
+    t.merge(deltasOf(wl, i => i < n / 3), "cp", 0L)
+    t.merge(deltasOf(wl, i => i >= n / 3 && i < 2 * n / 3), "cp", 1L)
+    t.merge(deltasOf(wl, i => i >= 2 * n / 3), "cp", 2L)
+    assert(stateSet(t.read()) == oracleSet(wl))
+    assert(t.currentVersion.contains(3))
+  }
+
+  test("replaying a committed batch is a no-op (exactly-once)") {
+    val wl = EnvelopeGen.workload(seed = 12, nConvs = 10, maxTurns = 3, nTxns = 100)
+    val t = tmpTable()
+    t.merge(deltasOf(wl), "cp", 0L)
+    val v1 = t.currentVersion
+    t.merge(deltasOf(wl), "cp", 0L) // replay
+    assert(t.currentVersion == v1)
+    assert(stateSet(t.read()) == oracleSet(wl))
+  }
+
+  test("time travel: earlier versions remain readable") {
+    val wl = EnvelopeGen.workload(seed = 13, nConvs = 15, maxTurns = 3, nTxns = 200)
+    val n = wl.ops.length
+    val t = tmpTable()
+    t.merge(deltasOf(wl, _ < n / 2), "cp", 0L)
+    val rowsV1 = t.read(Some(1)).count()
+    t.merge(deltasOf(wl, _ >= n / 2), "cp", 1L)
+    assert(t.read(Some(1)).count() == rowsV1) // immutable history
+    assert(stateSet(t.read()) == oracleSet(wl))
+  }
+
+  test("merge only rewrites affected buckets") {
+    val wl = EnvelopeGen.workload(seed = 14, nConvs = 40, maxTurns = 4, nTxns = 300)
+    val t = tmpTable()
+    t.merge(deltasOf(wl), "cp", 0L)
+    val before = t.currentSnapshot.get.files.toSet
+    // a single-key update touches exactly one bucket
+    val one = EnvelopeGen.Workload(
+      IndexedSeq(EnvelopeGen.Create(EnvelopeGen.Turn("conv-singleton", 0, "user", "hi", None, 1700000000000000L))),
+      Map.empty)
+    val onlyDelta = EnvelopeDecoder.toDeltas(
+      EnvelopeDecoder.decodeRelational(EnvelopeGen.toDataFrame(spark, one), schema,
+        DecodeOptions(strict = false)), schema)
+    val snap2 = t.merge(onlyDelta, "cp", 1L)
+    val kept = snap2.files.toSet.intersect(before)
+    assert(kept.nonEmpty, "unaffected bucket files must be retained as-is")
+    val lin = snap2.lineage.get
+    assert(lin.get("affectedBuckets").asInt() == 1)
+  }
+
+  test("schema evolution: added nullable column reads as null from old files") {
+    val wl = EnvelopeGen.workload(seed = 15, nConvs = 10, maxTurns = 3, nTxns = 50)
+    val t = tmpTable()
+    t.merge(deltasOf(wl), "cp", 0L)
+    val evolved = org.apache.spark.sql.types.StructType(
+      schema.structType.fields :+
+        org.apache.spark.sql.types.StructField("sentiment",
+          org.apache.spark.sql.types.StringType, nullable = true))
+    t.evolveSchema(evolved)
+    val df = t.read()
+    assert(df.schema.fieldNames.contains("sentiment"))
+    assert(df.filter(col("sentiment").isNotNull).count() == 0)
+    assert(stateSet(df) == oracleSet(wl))
+  }
+}
