@@ -27,6 +27,44 @@ object SparkEntry {
   /** SUM over a double column via exact decimal accumulation → double. */
   private def dsum(c: Column): Column = sum(c.cast("decimal(18,4)")).cast("double")
 
+  private val customerCdcSchema = CdcSchema(Seq(
+    CdcColumn("c_custkey", LongType, nullable = false, keyPart = true),
+    CdcColumn("c_name", StringType, nullable = false),
+    CdcColumn("c_nationkey", IntegerType, nullable = false),
+    CdcColumn("c_acctbal", DoubleType, nullable = false),
+    CdcColumn("c_mktsegment", StringType, nullable = false)))
+
+  /** Deterministic Debezium workload derived from the customer table:
+    * every row a 'c' event; custkey%3==0 an additional 'u' rewriting
+    * c_name; custkey%7==0 a trailing 'd'. Built with pure expressions. */
+  private def customerEnvelopes(s: SparkSession, dir: String): (DataFrame, DataFrame, DataFrame) = {
+    val c = t(s, dir, "customer")
+    def keyJson = to_json(struct(struct(col("c_custkey")).as("payload"))).cast("binary").as("key")
+    def envelope(row: Column, op: String): Column =
+      to_json(struct(struct(
+        row.as("after"),
+        struct(lit("mysql").as("connector")).as("source"),
+        lit(op).as("op")).as("payload")))
+    val base = c.select(keyJson,
+      envelope(struct(c.columns.map(col): _*), "c").cast("binary").as("value"),
+      lit("cdc.customer").as("topic"), lit(0).as("partition"),
+      col("c_custkey").as("offset"))
+    val upd = c.filter(col("c_custkey") % 3 === 0).select(keyJson,
+      envelope(struct(
+        col("c_custkey"), concat(col("c_name"), lit(" rev2")).as("c_name"),
+        col("c_nationkey"), col("c_acctbal"), col("c_mktsegment")), "u")
+        .cast("binary").as("value"),
+      lit("cdc.customer").as("topic"), lit(0).as("partition"),
+      (col("c_custkey") + 10000000L).as("offset"))
+    val del = c.filter(col("c_custkey") % 7 === 0).select(keyJson,
+      to_json(struct(struct(
+        struct(lit("mysql").as("connector")).as("source"),
+        lit("d").as("op")).as("payload"))).cast("binary").as("value"),
+      lit("cdc.customer").as("topic"), lit(0).as("partition"),
+      (col("c_custkey") + 20000000L).as("offset"))
+    (base, upd, del)
+  }
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
     * the CDC last-writer-wins apply (reference DebeziumTransform.scala:752-759)
     * over the events change-log. */
@@ -79,44 +117,27 @@ object SparkEntry {
     "cdc_envelope_roundtrip" -> ((s, dir) => {
       // full engine path: rows → Debezium JSON envelopes (expressions) →
       // EnvelopeDecoder (from_json + coercions) → LWW apply → final state.
-      // Workload: every customer row is a 'c' event; custkey%3==0 get a
-      // 'u' rewriting c_name; custkey%7==0 get a trailing 'd'.
-      val schema = CdcSchema(Seq(
-        CdcColumn("c_custkey", LongType, nullable = false, keyPart = true),
-        CdcColumn("c_name", StringType, nullable = false),
-        CdcColumn("c_nationkey", IntegerType, nullable = false),
-        CdcColumn("c_acctbal", DoubleType, nullable = false),
-        CdcColumn("c_mktsegment", StringType, nullable = false)))
-      val c = t(s, dir, "customer")
-      def envelope(row: Column, op: String, offset: Column): Column =
-        to_json(struct(struct(
-          row.as("after"),
-          struct(lit("mysql").as("connector")).as("source"),
-          lit(op).as("op")).as("payload")))
-      val base = c.select(
-        to_json(struct(struct(col("c_custkey")).as("payload"))).cast("binary").as("key"),
-        envelope(struct(c.columns.map(col): _*), "c", col("c_custkey")).cast("binary").as("value"),
-        lit("cdc.customer").as("topic"), lit(0).as("partition"),
-        col("c_custkey").as("offset"))
-      val upd = c.filter(col("c_custkey") % 3 === 0).select(
-        to_json(struct(struct(col("c_custkey")).as("payload"))).cast("binary").as("key"),
-        envelope(struct(
-          col("c_custkey"), concat(col("c_name"), lit(" rev2")).as("c_name"),
-          col("c_nationkey"), col("c_acctbal"), col("c_mktsegment")), "u",
-          col("c_custkey")).cast("binary").as("value"),
-        lit("cdc.customer").as("topic"), lit(0).as("partition"),
-        (col("c_custkey") + 10000000L).as("offset"))
-      val del = c.filter(col("c_custkey") % 7 === 0).select(
-        to_json(struct(struct(col("c_custkey")).as("payload"))).cast("binary").as("key"),
-        to_json(struct(struct(
-          struct(lit("mysql").as("connector")).as("source"),
-          lit("d").as("op")).as("payload"))).cast("binary").as("value"),
-        lit("cdc.customer").as("topic"), lit(0).as("partition"),
-        (col("c_custkey") + 20000000L).as("offset"))
+      val (base, upd, del) = customerEnvelopes(s, dir)
       val events = EnvelopeDecoder.decodeRelational(
-        base.unionByName(upd).unionByName(del), schema,
+        base.unionByName(upd).unionByName(del), customerCdcSchema,
         DecodeOptions(strict = false, validate = true))
       CdcApply.applyNonStrict(events)
+        .select("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment", "_offset")
+    }),
+    "cdc_lake_pipeline" -> ((s, dir) => {
+      // the whole ingest engine inside the DuckDB gate: two incremental
+      // micro-batches through CdcPipeline into a bucketed LakeTable
+      // (snapshot commits + copy-on-write MERGE), final state read back
+      // from the committed snapshot.
+      val (base, upd, del) = customerEnvelopes(s, dir)
+      val tmp = java.nio.file.Files.createTempDirectory("lake-gate").toString
+      val table = new graft.lake.LakeTable(s, tmp)
+      table.create(customerCdcSchema.structType, customerCdcSchema.keyNames, nBuckets = 16)
+      val pipe = new graft.streaming.CdcPipeline(s, customerCdcSchema, table,
+        DecodeOptions(strict = false, validate = true), "gate")
+      pipe.processBatch(base, 0L)
+      pipe.processBatch(upd.unionByName(del), 1L)
+      table.read()
         .select("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment", "_offset")
     }),
 
@@ -282,6 +303,12 @@ object SparkEntry {
     "cdc_op_counts" ->
       "SELECT event_type, COUNT(*) AS n FROM events GROUP BY event_type",
     "cdc_envelope_roundtrip" ->
+      """SELECT c_custkey,
+        |  CASE WHEN c_custkey % 3 = 0 THEN c_name || ' rev2' ELSE c_name END AS c_name,
+        |  c_nationkey, c_acctbal, c_mktsegment,
+        |  CASE WHEN c_custkey % 3 = 0 THEN c_custkey + 10000000 ELSE c_custkey END AS _offset
+        |FROM customer WHERE c_custkey % 7 <> 0""".stripMargin,
+    "cdc_lake_pipeline" ->
       """SELECT c_custkey,
         |  CASE WHEN c_custkey % 3 = 0 THEN c_name || ' rev2' ELSE c_name END AS c_name,
         |  c_nationkey, c_acctbal, c_mktsegment,

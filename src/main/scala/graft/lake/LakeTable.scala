@@ -233,6 +233,7 @@ class LakeTable(val spark: SparkSession, val root: String) {
     val eventsCol: org.apache.spark.sql.Column =
       if (deltas.columns.contains("n_events")) sum(col("n_events")).cast("long")
       else count(lit(1))
+    val tStats0 = System.nanoTime()
     val stats = withBucket.groupBy(col("_bucket"))
       .agg(eventsCol.as("n"),
         sum(when(col("operation") === "d", 1).otherwise(0)).as("n_del"),
@@ -251,6 +252,7 @@ class LakeTable(val spark: SparkSession, val root: String) {
       writeSnapshot(next)
       return next
     }
+    val statsMs = (System.nanoTime() - tStats0) / 1000000
     val affected = stats.map(_.getInt(0)).toSet
     val (affectedFiles, keptFiles) = cur.files.partition(f => affected.contains(f.bucket))
 
@@ -290,11 +292,16 @@ class LakeTable(val spark: SparkSession, val root: String) {
     // one output file per affected bucket: route rows to their bucket's
     // task before the partitioned write (otherwise every task splits into
     // every bucket → tasks×buckets small files)
+    val tWrite0 = System.nanoTime()
     merged.withColumn("_bucket", bucketCol(keyCols, nb))
       .repartition(affected.size, col("_bucket"))
       .write.partitionBy("_bucket").parquet(commitDir.toString)
+    val writeMs = (System.nanoTime() - tWrite0) / 1000000
+    val tList0 = System.nanoTime()
     val newFiles = listCommitFiles(commitDir)
+    val listMs = (System.nanoTime() - tList0) / 1000000
     withBucket.unpersist()
+    System.err.println(s"[lake-merge] batch=$batchId statsMs=$statsMs writeMs=$writeMs listMs=$listMs affected=${affected.size}")
 
     val durMs = (System.nanoTime() - t0) / 1000000
     val events = stats.map(_.getLong(1)).sum
