@@ -1,5 +1,10 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+/** Driver-run benchmark: times every SparkEntry query at SPARK_GRAFT_SF_DIR,
+  * then measures the CDC ingest engine's end-to-end apply throughput on a
+  * synthesized 1M-event workload. Prints ONE JSON line. */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -7,9 +12,14 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.files.maxPartitionBytes", (16 * 1024 * 1024).toString)
+      .config("spark.sql.files.openCostInBytes", (1024 * 1024).toString)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
@@ -18,7 +28,30 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+
+    // CDC apply throughput: 1M synthesized Debezium events → decode →
+    // LWW reduce → bucketed lake MERGE (2 incremental batches)
+    val cdcJson = try {
+      val nEvents = sys.env.getOrElse("SPARK_GRAFT_BENCH_EVENTS", "1000000").toLong
+      val raw = gen.BenchGen.envelopes(spark, nEvents)
+        .withColumn("batch", org.apache.spark.sql.functions.expr("cast(pmod(offset, 2) as int)"))
+      val rawPath = java.nio.file.Files.createTempDirectory("bench-raw").toString + "/raw"
+      raw.write.partitionBy("batch").parquet(rawPath)
+      val actual = spark.read.parquet(rawPath).count()
+      val dir = java.nio.file.Files.createTempDirectory("bench-lake").toString
+      val schema = model.CdcSchema.transcripts
+      val table = new lake.LakeTable(spark, dir)
+      table.create(schema.structType, schema.keyNames, nBuckets = 32)
+      val pipe = new streaming.CdcPipeline(spark, schema, table,
+        decode.DecodeOptions(strict = false, validate = false), "bench")
+      val t0 = System.nanoTime()
+      pipe.processBatch(spark.read.parquet(s"$rawPath/batch=0"), 0L)
+      pipe.processBatch(spark.read.parquet(s"$rawPath/batch=1"), 1L)
+      val wall = (System.nanoTime() - t0) / 1e9
+      s""","cdcApply":{"events":$actual,"wallSec":$wall,"eventsPerSec":${(actual / wall).toLong}}"""
+    } catch { case e: Throwable => s""","cdcApplyError":"${e.getClass.getSimpleName}"""" }
+
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"$cdcJson}""")
     spark.stop()
   }
 }

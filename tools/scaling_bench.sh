@@ -19,6 +19,8 @@ if [ ! -d "$RAW" ]; then
     sbt -batch "runMain graft.CdcBench" >/dev/null 2>&1 || true
 fi
 
+ITERS=${SPARK_GRAFT_BENCH_ITERS:-3}
+for i in $(seq 1 $ITERS); do
 for CORES in $LEVELS; do
   # pin the whole JVM to exactly CORES cpus: otherwise GC / netty /
   # codegen threads of a local[N] run spill onto the other host cores and
@@ -29,15 +31,25 @@ for CORES in $LEVELS; do
     taskset -c 0-$LAST sbt -batch "runMain graft.CdcBench" 2>/dev/null \
     | sed -n 's/^\[info\] \({.*\)$/\1/p' | grep '"metric"' >> "$OUT"
 done
+done
 
+# best-of-N per level: the sandbox VM shows ±30% run-to-run noise
+# (shared-host steal); best-of isolates the machine's noise floor.
 python3 - "$OUT" <<'EOF'
 import json, sys
 runs = [json.loads(l) for l in open(sys.argv[1])]
-runs.sort(key=lambda r: r["cores"])
-out = {"metric": "cdc_scaling", "runs": runs}
-pairs = [(a, b) for a in runs for b in runs if b["cores"] == 4 * a["cores"]]
-for a, b in pairs:
-    out[f"eff_{a['cores']}to{b['cores']}"] = round(
-        (b["eventsPerSec"] / a["eventsPerSec"]) / 4, 3)
+best = {}
+for r in runs:
+    c = r["cores"]
+    if c not in best or r["eventsPerSec"] > best[c]["eventsPerSec"]:
+        best[c] = r
+levels = sorted(best)
+out = {"metric": "cdc_scaling",
+       "best": [best[c] for c in levels],
+       "allRuns": [{"cores": r["cores"], "eventsPerSec": r["eventsPerSec"]} for r in runs]}
+for a in levels:
+    if 4 * a in best:
+        out[f"eff_{a}to{4*a}"] = round(
+            (best[4*a]["eventsPerSec"] / best[a]["eventsPerSec"]) / 4, 3)
 print(json.dumps(out))
 EOF
