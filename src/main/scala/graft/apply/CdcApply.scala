@@ -32,12 +32,15 @@ object CdcApply {
   val IKey = 0; val IOffset = 1; val IConnector = 2; val IOperation = 3
   val IBefore = 4; val IAfter = 5; val IKeyMask = 6
 
+  import graft.functions.LastByOffset.lastByOffset
+
   /** Non-strict last-writer-wins apply → final table rows
-    * (user cols + _topic/_offset). Deletes drop out (after is null). */
+    * (user cols + _topic/_offset). Deletes drop out (after is null).
+    * One ObjectHashAggregate (see LastByOffset). */
   def applyNonStrict(events: DataFrame): DataFrame =
     events
       .groupBy(col("key"))
-      .agg(max_by(struct(col("after")), col("offset")).as("_last"))
+      .agg(lastByOffset(struct(col("after")), col("offset")).as("_last"))
       .filter(col("_last.after").isNotNull)
       .select("_last.after.*")
 
@@ -46,7 +49,8 @@ object CdcApply {
   def reduceToDeltas(events: DataFrame): DataFrame =
     events
       .groupBy(col("key"))
-      .agg(max_by(struct(col("operation"), col("offset"), col("after")), col("offset")).as("_last"))
+      .agg(lastByOffset(struct(col("operation"), col("offset"), col("after")),
+        col("offset")).as("_last"))
       .select(col("key"), col("_last.operation").as("operation"),
         col("_last.offset").as("offset"), col("_last.after").as("after"))
 

@@ -38,16 +38,21 @@ object EnvelopeDecoder {
   val OpCreate = "c"; val OpRead = "r"; val OpUpdate = "u"; val OpDelete = "d"
 
   /** Raw JSON shape of the envelope value for from_json (fast path: the
-    * per-message `schema` section is skipped by the parser). */
-  def valueJsonType(schema: CdcSchema): StructType = StructType(Seq(
-    StructField("payload", StructType(Seq(
-      StructField("before", schema.rawPayloadType),
-      StructField("after", schema.rawPayloadType),
-      StructField("source", StructType(Seq(
-        StructField("connector", StringType),
-        StructField("ts_ms", LongType)))),
-      StructField("op", StringType),
-      StructField("ts_ms", LongType))))))
+    * per-message `schema` section is skipped by the parser; in non-strict
+    * mode the `before` image is also dropped from the parse schema so
+    * Jackson skips those tokens entirely). */
+  def valueJsonType(schema: CdcSchema, includeBefore: Boolean = true): StructType = {
+    val before =
+      if (includeBefore) Seq(StructField("before", schema.rawPayloadType)) else Nil
+    StructType(Seq(
+      StructField("payload", StructType(before ++ Seq(
+        StructField("after", schema.rawPayloadType),
+        StructField("source", StructType(Seq(
+          StructField("connector", StringType),
+          StructField("ts_ms", LongType)))),
+        StructField("op", StringType),
+        StructField("ts_ms", LongType))))))
+  }
 
   def keyJsonType(schema: CdcSchema): StructType =
     StructType(Seq(StructField("payload", schema.rawKeyType)))
@@ -108,7 +113,7 @@ object EnvelopeDecoder {
     */
   def decodeRelational(raw: DataFrame, schema: CdcSchema,
       opts: DecodeOptions = DecodeOptions()): DataFrame = {
-    val vt = valueJsonType(schema)
+    val vt = valueJsonType(schema, includeBefore = opts.strict)
     val kt = keyJsonType(schema)
 
     val parsed = raw
@@ -167,9 +172,13 @@ object EnvelopeDecoder {
     * columns = typed key cols + non-key payload + lineage + `operation`.
     * Key columns come from the Kafka key so delete rows route correctly. */
   def toDeltas(events: DataFrame, schema: CdcSchema): DataFrame = {
+    // LastByOffset (TypedImperativeAggregate) instead of max_by: max_by's
+    // struct buffer forces a SortAggregate fallback; this runs as a true
+    // ObjectHashAggregate with partial/final merge (see LastByOffset doc)
     val reduced = events
       .groupBy(col("key"))
-      .agg(max_by(struct(col("operation"), col("offset"), col("after"), col("pk")),
+      .agg(graft.functions.LastByOffset.lastByOffset(
+        struct(col("operation"), col("offset"), col("after"), col("pk")),
         col("offset")).as("_w"),
         count(lit(1)).as("n_events"))
     val keyNames = schema.keyNames.toSet
