@@ -280,7 +280,24 @@ object SparkEntry {
         .filter(col("n_inter") * 2 >= col("n_union"))
     }),
 
+    "doc_bpe_tokens" -> ((s, dir) =>
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        TextOps.bpeTokenCount(col("text")).as("n_bpe"))),
+
     // ---- vector similarity ----
+    "emb_dup_exact" -> ((s, dir) => {
+      // exact embedding-cosine near-dup pairs (brute force baseline; the
+      // LSH-blocked scale path is ann_lsh / cosineDupPairs)
+      val e = t(s, dir, "embeddings")
+      val a = e.select(col("vec_id").as("id_a"), col("embedding").as("_va"))
+      val b = e.select(col("vec_id").as("id_b"), col("embedding").as("_vb"))
+      a.join(b, col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"),
+          VectorOps.cosine(col("_va"), col("_vb")).as("sim"))
+        .filter(col("sim") >= 0.45)
+        .select("id_a", "id_b")
+    }),
     "ann_topk" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       VectorOps.cosineTopK(emb, "vec_id", "embedding",
@@ -297,6 +314,12 @@ object SparkEntry {
         shingleN = 5, maxHamming = 8)),
     "ann_lsh" -> ((s, dir) =>
       VectorOps.annLshTopK(t(s, dir, "embeddings"), "vec_id", "embedding", k = 3, bits = 4)),
+    "doc_rolling_fp" -> ((s, dir) =>
+      // winnowing-style min rolling-hash fingerprint (custom codegen
+      // Expression); rows-only — no SQL-expressible oracle
+      t(s, dir, "documents").select(col("doc_id"),
+        graft.functions.RollingHashMin.rollingHashMin(
+          TextOps.normalize(col("text")), 16).as("fp64"))),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -474,6 +497,14 @@ object SparkEntry {
         |WHERE a.doc_id < b.doc_id
         |  AND len(list_intersect(a.words, b.words)) * 2
         |      >= len(list_distinct(list_concat(a.words, b.words)))""".stripMargin,
+    "doc_bpe_tokens" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '''(?:s|d|m|t|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+')) AS INT) AS n_bpe
+        |FROM documents""".stripMargin,
+    "emb_dup_exact" ->
+      """SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.45""".stripMargin,
     "ann_topk" ->
       """SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank FROM (
         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,

@@ -51,6 +51,16 @@ object TextOps {
     size(regexp_extract_all(text, lit(pat), lit(0)))
   }
 
+  /** BPE-style pre-tokenizer piece count: GPT-2-ish segmentation
+    * (contraction suffixes, space-prefixed letter runs, digit runs,
+    * punctuation runs, whitespace runs). RE2-compatible (no lookarounds)
+    * so the DuckDB oracle runs the identical pattern. */
+  val BpePattern: String =
+    """'(?:s|d|m|t|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+"""
+
+  def bpeTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(BpePattern), lit(0)))
+
   /** N-gram-free language-ID heuristic: 'en' when stopword density over
     * tokens exceeds `minDensityPct` percent, else 'other'. Integer
     * arithmetic only (100*hits >= pct*tokens) for cross-engine parity. */
