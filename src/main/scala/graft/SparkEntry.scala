@@ -289,12 +289,14 @@ object SparkEntry {
     "emb_dup_exact" -> ((s, dir) => {
       // exact embedding-cosine near-dup pairs (brute force baseline; the
       // LSH-blocked scale path is ann_lsh / cosineDupPairs)
-      val e = t(s, dir, "embeddings")
-      val a = e.select(col("vec_id").as("id_a"), col("embedding").as("_va"))
-      val b = e.select(col("vec_id").as("id_b"), col("embedding").as("_vb"))
+      // norms precomputed per row (once), dot product per pair only
+      val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"),
+        VectorOps.norm(col("embedding")).as("nrm"))
+      val a = e.select(col("vec_id").as("id_a"), col("embedding").as("_va"), col("nrm").as("_na"))
+      val b = e.select(col("vec_id").as("id_b"), col("embedding").as("_vb"), col("nrm").as("_nb"))
       a.join(b, col("id_a") < col("id_b"))
         .select(col("id_a"), col("id_b"),
-          VectorOps.cosine(col("_va"), col("_vb")).as("sim"))
+          (VectorOps.dot(col("_va"), col("_vb")) / (col("_na") * col("_nb"))).as("sim"))
         .filter(col("sim") >= 0.45)
         .select("id_a", "id_b")
     }),

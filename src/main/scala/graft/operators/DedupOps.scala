@@ -36,58 +36,73 @@ object DedupOps {
       .otherwise(array().cast("array<string>"))
   }
 
-  /** (id, shingle) exploded rows — the one-pass base for signature aggs. */
-  private def explodedShingles(df: DataFrame, idCol: String, textCol: String,
-      shingleN: Int): DataFrame =
+  /** (id, hh) exploded 64-bit shingle hashes — ONE pass over the text via
+    * the ShingleHashes codegen expression (the substr-per-window
+    * formulation is O(len²) per document and shuffles string shingles). */
+  private def explodedShingleHashes(df: DataFrame, idCol: String,
+      textCol: String, shingleN: Int): DataFrame =
     df.select(col(idCol).as("id"),
-        explode(shingles(col(textCol), shingleN)).as("sh"))
+      explode(graft.functions.ShingleHashes.shingleHashes(
+        TextOps.normalize(col(textCol)), shingleN)).as("hh"))
 
   /** MinHash+LSH near-duplicate pairs (id_a < id_b) with an estimated
     * Jaccard (fraction of agreeing minhash components) ≥ `threshold`.
     *
-    * Pipeline: explode shingles → one hash-agg builds the `numHashes`
-    * signature minima per doc → explode band keys → equi self-join on
-    * (band, bandHash) → distinct pairs → signature-agreement estimate.
+    * Pipeline: explode shingle hashes → one hash-agg builds the
+    * `numHashes` signature minima per doc (seed-mixed from the window
+    * hash, no per-seed re-hash of text) → explode band keys → equi
+    * self-join carrying IDS ONLY → distinct pairs → signatures re-joined
+    * (broadcast) for the agreement estimate. Candidate pairs never drag
+    * the signature arrays through the band-join shuffle.
     */
   def minHashLshPairs(
       df: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 5, numHashes: Int = 32, rowsPerBand: Int = 4,
       threshold: Double = 0.8): DataFrame = {
-    val ex = explodedShingles(df, idCol, textCol, shingleN)
+    import graft.functions.ShingleHashes.seedMix
+    val ex = explodedShingleHashes(df, idCol, textCol, shingleN)
     val sigs = ex.groupBy(col("id")).agg(
-      array((0 until numHashes).map(seed => min(xxhash64(col("sh"), lit(seed)))): _*).as("sig"))
+      array((0 until numHashes).map(seed => min(seedMix(col("hh"), seed))): _*).as("sig"))
     val bands = numHashes / rowsPerBand
-    val banded = sigs.select(col("id"), col("sig"),
+    val banded = sigs.select(col("id"),
       explode(array((0 until bands).map { b =>
         struct(lit(b).as("band"),
           xxhash64(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)).as("h"))
       }: _*)).as("bk"))
-    val a = banded.select(col("id").as("id_a"), col("sig").as("sig_a"), col("bk"))
-    val b = banded.select(col("id").as("id_b"), col("sig").as("sig_b"), col("bk"))
-    a.join(b, Seq("bk"))
+    val a = banded.select(col("id").as("id_a"), col("bk"))
+    val b = banded.select(col("id").as("id_b"), col("bk"))
+    val pairs = a.join(b, Seq("bk"))
       .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("sig_a"), col("sig_b"))
-      .distinct()
+      .select("id_a", "id_b").distinct()
+    val sa = sigs.select(col("id").as("id_a"), col("sig").as("sig_a"))
+    val sb = sigs.select(col("id").as("id_b"), col("sig").as("sig_b"))
+    pairs.join(sa, "id_a").join(sb, "id_b")
       .select(col("id_a"), col("id_b"),
-        (size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), b => b))
+        (size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), v => v))
           .cast("double") / numHashes).as("jaccard_est"))
       .filter(col("jaccard_est") >= threshold)
   }
 
   /** 64-bit SimHash per document: per-bit majority vote over shingle
-    * hashes, computed as 64 conditional-count aggregates in ONE pass. */
+    * hashes, ONE aggregation pass with 16 packed counters (4×16-bit
+    * counts per long — 65,535-shingle docs max) instead of 64 separate
+    * sums: 4× less aggregate state and far smaller generated code. */
   def simHashes(df: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 5): DataFrame = {
-    val ex = explodedShingles(df, idCol, textCol, shingleN)
-      .withColumn("hh", xxhash64(col("sh")))
+    val ex = explodedShingleHashes(df, idCol, textCol, shingleN)
+    // packed(c) accumulates bits c, c+16, c+32, c+48 in lanes 0..3
     val agg = ex.groupBy(col("id")).agg(
       count(lit(1)).as("n"),
-      array((0 until 64).map { bit =>
-        sum(shiftright(col("hh"), bit).bitwiseAND(1))
-      }: _*).as("ones"))
+      array((0 until 16).map { c =>
+        sum((0 until 4).map { lane =>
+          shiftleft(shiftright(col("hh"), c + 16 * lane).bitwiseAND(1), 16 * lane)
+        }.reduce((x, y) => x.bitwiseOR(y))).as(s"p$c")
+      }: _*).as("packed"))
     agg.select(col("id"),
       (0 until 64).map { bit =>
-        when(col("ones").getItem(bit) * 2 > col("n"), lit(1L << bit)).otherwise(lit(0L))
+        val c = bit % 16; val lane = bit / 16
+        val ones = shiftright(col("packed").getItem(c), 16 * lane).bitwiseAND(0xFFFFL)
+        when(ones * 2 > col("n"), lit(1L << bit)).otherwise(lit(0L))
       }.reduce((x, y) => x.bitwiseOR(y)).as("h"))
   }
 

@@ -13,10 +13,10 @@ import org.apache.spark.sql.functions._
   */
 object VectorOps {
 
-  /** Dot product of two array<float/double> columns (float64 accumulate). */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+  /** Dot product of two array<float> columns (float64 accumulate) —
+    * native codegen expression (see FloatVectorDot: the zip_with/aggregate
+    * HOF formulation allocates an intermediate array per pair). */
+  def dot(a: Column, b: Column): Column = graft.functions.FloatVectorDot.dotF(a, b)
 
   /** L2 norm. */
   def norm(a: Column): Column = sqrt(dot(a, a))
