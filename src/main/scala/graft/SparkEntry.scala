@@ -65,6 +65,34 @@ object SparkEntry {
     (base, upd, del)
   }
 
+  /** Strict-mode variant of [[customerEnvelopes]]: every event carries the
+    * reference-mandated before-image (null for 'c'; previous after-image
+    * for 'u'/'d' — DebeziumTransform.scala:577-591), so the strict chain
+    * validator and the MERGE first-op precondition have real work. */
+  private def strictCustomerEnvelopes(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val c = t(s, dir, "customer")
+    def keyJson = to_json(struct(struct(col("c_custkey")).as("payload"))).cast("binary").as("key")
+    val orig = struct(c.columns.map(col): _*)
+    val rev2 = struct(
+      col("c_custkey"), concat(col("c_name"), lit(" rev2")).as("c_name"),
+      col("c_nationkey"), col("c_acctbal"), col("c_mktsegment"))
+    def envelope(before: Column, after: Column, op: String): Column =
+      to_json(struct(struct(
+        before.as("before"), after.as("after"),
+        struct(lit("mysql").as("connector")).as("source"),
+        lit(op).as("op")).as("payload"))).cast("binary")
+    def ev(df: DataFrame, before: Column, after: Column, op: String, offBase: Long) =
+      df.select(keyJson, envelope(before, after, op).as("value"),
+        lit("cdc.customer").as("topic"), lit(0).as("partition"),
+        (col("c_custkey") + offBase).as("offset"))
+    val nul = lit(null).cast(org.apache.spark.sql.types.StructType(c.schema.fields))
+    val base = ev(c, nul, orig, "c", 0L)
+    val upd = ev(c.filter(col("c_custkey") % 3 === 0), orig, rev2, "u", 10000000L)
+    val del = ev(c.filter(col("c_custkey") % 7 === 0),
+      when(col("c_custkey") % 3 === 0, rev2).otherwise(orig), nul, "d", 20000000L)
+    (base, upd.unionByName(del))
+  }
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
     * the CDC last-writer-wins apply (reference DebeziumTransform.scala:752-759)
     * over the events change-log. */
@@ -137,6 +165,24 @@ object SparkEntry {
         DecodeOptions(strict = false, validate = true), "gate")
       pipe.processBatch(base, 0L)
       pipe.processBatch(upd.unionByName(del), 1L)
+      table.read()
+        .select("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment", "_offset")
+    }),
+    "cdc_strict_roundtrip" -> ((s, dir) => {
+      // STRICT path inside the gate: decode with before-images + null-shape
+      // validation → per-key chain validation (strictDeltas) → lake MERGE
+      // with the first-op precondition checked against the snapshot row
+      // (batch 1's 'u'/'d' events must match batch 0's committed state).
+      val (batch0, batch1) = strictCustomerEnvelopes(s, dir)
+      val opts = DecodeOptions(strict = true, validate = true)
+      val tmp = java.nio.file.Files.createTempDirectory("lake-strict-gate").toString
+      val table = new graft.lake.LakeTable(s, tmp)
+      table.create(customerCdcSchema.structType, customerCdcSchema.keyNames, nBuckets = 16)
+      Seq(batch0, batch1).zipWithIndex.foreach { case (raw, i) =>
+        val events = EnvelopeDecoder.decodeRelational(raw, customerCdcSchema, opts)
+        val deltas = CdcApply.strictDeltas(events, customerCdcSchema)
+        table.merge(deltas, "gate-strict", i.toLong, strictValidate = true)
+      }
       table.read()
         .select("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment", "_offset")
     }),
@@ -286,42 +332,38 @@ object SparkEntry {
         TextOps.bpeTokenCount(col("text")).as("n_bpe"))),
 
     // ---- vector similarity ----
-    "emb_dup_exact" -> ((s, dir) => {
-      // exact embedding-cosine near-dup pairs (brute force baseline; the
-      // LSH-blocked scale path is ann_lsh / cosineDupPairs)
-      // norms precomputed per row (once), dot product per pair only
-      val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"),
-        VectorOps.norm(col("embedding")).as("nrm"))
-      val a = e.select(col("vec_id").as("id_a"), col("embedding").as("_va"), col("nrm").as("_na"))
-      val b = e.select(col("vec_id").as("id_b"), col("embedding").as("_vb"), col("nrm").as("_nb"))
-      a.join(b, col("id_a") < col("id_b"))
-        .select(col("id_a"), col("id_b"),
-          (VectorOps.dot(col("_va"), col("_vb")) / (col("_na") * col("_nb"))).as("sim"))
-        .filter(col("sim") >= 0.45)
-        .select("id_a", "id_b")
-    }),
+    "emb_dup_exact" -> ((s, dir) =>
+      // EXACT cosine near-dup pairs via the tiled block self-join: the
+      // quadratic work spreads evenly over block-pair equi-join tiles —
+      // no BroadcastNestedLoopJoin (the 0.45 threshold sits in the bulk
+      // of the sim distribution, where LSH recall can't be guaranteed)
+      VectorOps.cosineDupPairsExact(t(s, dir, "embeddings"),
+          "vec_id", "embedding", threshold = 0.45, nBlocks = 8)
+        .select("id_a", "id_b")),
     "ann_topk" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       VectorOps.cosineTopK(emb, "vec_id", "embedding",
         emb.filter(col("vec_id") < 10), "vec_id", "embedding", 5)
     }),
 
-    // ---- rows-only (no SQL-expressible oracle): hash-based near-dup + LSH ANN ----
+    // ---- hash-based near-dup + fingerprints (portable md5-derived
+    // hashes so the DuckDB oracle reproduces them bit-for-bit; the
+    // xxhash one-pass variants are the perf path, spec-verified) ----
     "doc_minhash_lsh" -> ((s, dir) =>
-      DedupOps.minHashLshPairs(t(s, dir, "documents"), "doc_id", "text",
-        shingleN = 5, numHashes = 32, rowsPerBand = 4, threshold = 0.4)
-        .select(col("id_a"), col("id_b"))),
+      DedupOps.minHashPortablePairs(t(s, dir, "documents"), "doc_id", "text",
+        shingleN = 5, numHashes = 16, threshold = 0.5)),
     "doc_simhash" -> ((s, dir) =>
-      DedupOps.simHashPairs(t(s, dir, "documents"), "doc_id", "text",
-        shingleN = 5, maxHamming = 8)),
-    "ann_lsh" -> ((s, dir) =>
-      VectorOps.annLshTopK(t(s, dir, "embeddings"), "vec_id", "embedding", k = 3, bits = 4)),
+      DedupOps.simHashPortablePairs(t(s, dir, "documents"), "doc_id", "text",
+        shingleN = 5, maxHamming = 3)),
     "doc_rolling_fp" -> ((s, dir) =>
-      // winnowing-style min rolling-hash fingerprint (custom codegen
-      // Expression); rows-only — no SQL-expressible oracle
-      t(s, dir, "documents").select(col("doc_id"),
-        graft.functions.RollingHashMin.rollingHashMin(
-          TextOps.normalize(col("text")), 16).as("fp64"))),
+      DedupOps.rollingFpPortable(t(s, dir, "documents"), "doc_id", "text",
+        window = 16)),
+
+    // rows-only: approximate by construction (recall measured in
+    // VectorOpsSpec against the brute-force oracle)
+    "ann_lsh" -> ((s, dir) =>
+      VectorOps.annLshTopK(t(s, dir, "embeddings"), "vec_id", "embedding",
+        k = 3, bits = 4, tables = 16)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -371,7 +413,7 @@ object SparkEntry {
         |       MAX(event_id) AS last_offset, COUNT(DISTINCT event_type) AS n_op_types
         |FROM events GROUP BY user_id""".stripMargin,
     "cdc_sessionize" ->
-      """SELECT user_id, SUM(new_sess) AS n_sessions FROM (
+      """SELECT user_id, CAST(SUM(new_sess) AS BIGINT) AS n_sessions FROM (
         |  SELECT user_id,
         |    CASE WHEN prev_ts IS NULL OR date_diff('second', prev_ts, ts) > 1800
         |         THEN 1 ELSE 0 END AS new_sess
@@ -440,7 +482,8 @@ object SparkEntry {
         |  CAST(floor(o_totalprice) AS BIGINT) AS price_floor
         |FROM orders""".stripMargin,
     "q_json_extract" ->
-      """SELECT user_id, SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k
+      // outer CAST: DuckDB SUM(BIGINT) returns HUGEINT, Spark returns BIGINT
+      """SELECT user_id, CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
         |FROM events GROUP BY user_id""".stripMargin,
     "q_asof_join" ->
       """WITH o AS (
@@ -507,6 +550,20 @@ object SparkEntry {
       """SELECT a.vec_id AS id_a, b.vec_id AS id_b
         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
         |WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.45""".stripMargin,
+    "cdc_strict_roundtrip" ->
+      """SELECT c_custkey,
+        |  CASE WHEN c_custkey % 3 = 0 THEN c_name || ' rev2' ELSE c_name END AS c_name,
+        |  c_nationkey, c_acctbal, c_mktsegment,
+        |  CASE WHEN c_custkey % 3 = 0 THEN c_custkey + 10000000 ELSE c_custkey END AS _offset
+        |FROM customer WHERE c_custkey % 7 <> 0""".stripMargin,
+    "doc_minhash_lsh" ->
+      DedupOps.minHashPortableOracleSql("documents", "doc_id",
+        shingleN = 5, numHashes = 16, threshold = 0.5),
+    "doc_simhash" ->
+      DedupOps.simHashPortableOracleSql("documents", "doc_id",
+        shingleN = 5, maxHamming = 3),
+    "doc_rolling_fp" ->
+      DedupOps.rollingFpOracleSql("documents", "doc_id", window = 16),
     "ann_topk" ->
       """SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank FROM (
         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,

@@ -17,25 +17,48 @@ import org.apache.spark.sql.functions._
   */
 object ChangeLog {
 
+  import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+
+  private def isIntegral(df: DataFrame, c: String): Boolean =
+    df.schema(c).dataType match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case _ => false
+    }
+
   /** Keep the row with the greatest `orderCol` per key (last-writer-wins).
     * `orderCol` must be a total order within a key (e.g. Kafka offset /
-    * LSN); ties break on the packed payload struct to stay deterministic.
-    */
-  def latestByKey(df: DataFrame, keyCols: Seq[String], orderCol: String): DataFrame = {
-    val payloadCols = df.columns.filterNot(keyCols.contains).toSeq
-    val packed = struct(payloadCols.map(col): _*)
-    df.groupBy(keyCols.map(col): _*)
-      .agg(max_by(packed, struct(col(orderCol), packed)).as("_latest"))
-      .select(keyCols.map(col) ++ payloadCols.map(c => col(s"_latest.$c").as(c)): _*)
-  }
+    * LSN) and unique per key for a deterministic result.
+    *
+    * Integral order columns run through LastByOffset
+    * (TypedImperativeAggregate → ObjectHashAggregate): the built-in
+    * `max_by` packs a struct into its aggregate buffer, which
+    * HashAggregateExec can't hold — Spark silently falls back to
+    * SortAggregate (+40%% on the apply stage, measured in BENCH.md).
+    * Non-integral order columns keep the max_by fallback with a
+    * struct-packed deterministic tie-break. */
+  def latestByKey(df: DataFrame, keyCols: Seq[String], orderCol: String): DataFrame =
+    reduceByKey(df, keyCols, orderCol, descending = true)
 
   /** Earliest row per key (first-writer-wins) — dedup keeping the original. */
-  def earliestByKey(df: DataFrame, keyCols: Seq[String], orderCol: String): DataFrame = {
+  def earliestByKey(df: DataFrame, keyCols: Seq[String], orderCol: String): DataFrame =
+    reduceByKey(df, keyCols, orderCol, descending = false)
+
+  private def reduceByKey(df: DataFrame, keyCols: Seq[String], orderCol: String,
+      descending: Boolean): DataFrame = {
     val payloadCols = df.columns.filterNot(keyCols.contains).toSeq
     val packed = struct(payloadCols.map(col): _*)
+    val winner =
+      if (isIntegral(df, orderCol)) {
+        // earliest = LastByOffset on the negated offset (one aggregate
+        // implementation, ObjectHashAggregate on both paths)
+        val off = if (descending) col(orderCol).cast("long")
+                  else -col(orderCol).cast("long")
+        graft.functions.LastByOffset.lastByOffset(packed, off)
+      } else if (descending) max_by(packed, struct(col(orderCol), packed))
+      else min_by(packed, struct(col(orderCol), packed))
     df.groupBy(keyCols.map(col): _*)
-      .agg(min_by(packed, struct(col(orderCol), packed)).as("_first"))
-      .select(keyCols.map(col) ++ payloadCols.map(c => col(s"_first.$c").as(c)): _*)
+      .agg(winner.as("_w"))
+      .select(keyCols.map(col) ++ payloadCols.map(c => col(s"_w.$c").as(c)): _*)
   }
 
   /** Merge a reduced delta set into a snapshot: full-outer join on the key;

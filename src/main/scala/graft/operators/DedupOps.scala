@@ -106,16 +106,39 @@ object DedupOps {
       }.reduce((x, y) => x.bitwiseOR(y)).as("h"))
   }
 
+  /** Chunk layout guaranteeing the pigeonhole property for a given radius:
+    * `maxHamming + 1` chunks over `width` bits — any two values differing
+    * by ≤ maxHamming bits agree on at least one whole chunk. Returns
+    * (startBit, chunkWidth) pairs. */
+  private[operators] def pigeonholeChunks(width: Int, maxHamming: Int): Seq[(Int, Int)] = {
+    val n = maxHamming + 1
+    require(n <= width, s"radius $maxHamming needs $n chunks but only $width bits")
+    val base = width / n; val rem = width % n
+    val widths = Seq.fill(rem)(base + 1) ++ Seq.fill(n - rem)(base)
+    widths.scanLeft(0)(_ + _).zip(widths)
+  }
+
   /** SimHash near-dup candidates: docs whose 64-bit simhash differ by at
-    * most `maxHamming` bits, candidate-blocked on 16-bit simhash chunks
-    * (pigeonhole: ≤3 differing bits ⇒ at least one identical chunk). */
+    * most `maxHamming` bits, candidate-blocked on `maxHamming + 1` simhash
+    * chunks (pigeonhole: ≤ maxHamming differing bits ⇒ at least one
+    * identical chunk — the chunk count MUST track the radius, or pairs
+    * whose differing bits spread across every chunk are silently missed). */
   def simHashPairs(df: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 5, maxHamming: Int = 3): DataFrame = {
     val withH = simHashes(df, idCol, textCol, shingleN)
-    val chunked = withH.select(col("id"), col("h"),
-      explode(array((0 until 4).map { c =>
-        struct(lit(c).as("c"),
-          shiftright(col("h"), c * 16).bitwiseAND(0xFFFFL).as("v"))
+    hammingJoin(withH, "id", "h", 64, maxHamming)
+  }
+
+  /** Blocked hamming self-join on a simhash-like column: pairs (id_a <
+    * id_b) with bit_count(xor) ≤ maxHamming. Blocking is pigeonhole-exact:
+    * recall 1 by construction, never an O(n²) cross join. */
+  private def hammingJoin(withH: DataFrame, idCol: String, hCol: String,
+      width: Int, maxHamming: Int): DataFrame = {
+    val chunks = pigeonholeChunks(width, maxHamming)
+    val chunked = withH.select(col(idCol).as("id"), col(hCol).as("h"),
+      explode(array(chunks.zipWithIndex.map { case ((start, w), i) =>
+        struct(lit(i).as("c"),
+          shiftright(col(hCol), start).bitwiseAND((1L << w) - 1).as("v"))
       }: _*)).as("chunk"))
     val a = chunked.select(col("id").as("id_a"), col("h").as("h_a"), col("chunk"))
     val b = chunked.select(col("id").as("id_b"), col("h").as("h_b"), col("chunk"))
@@ -125,4 +148,179 @@ object DedupOps {
       .filter(col("hamming") <= maxHamming)
       .distinct()
   }
+
+  /** All-pairs hamming ≤ maxHamming on precomputed hashes — brute force,
+    * spec-only oracle for [[simHashPairs]] blocking completeness. */
+  def hammingPairsBruteForce(withH: DataFrame, maxHamming: Int): DataFrame = {
+    val a = withH.select(col("id").as("id_a"), col("h").as("h_a"))
+    val b = withH.select(col("id").as("id_b"), col("h").as("h_b"))
+    a.crossJoin(b).filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("h_a").bitwiseXOR(col("h_b"))).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  // ------------------------------------------------------------------
+  // Portable (cross-engine verifiable) variants: hashes derived from md5
+  // so a SQL oracle (DuckDB) can reproduce them bit-for-bit. The xxhash-
+  // based ops above remain the high-throughput path (one-pass rolling
+  // shingle hash, no per-seed md5); these exist so the dedup family is
+  // value-verifiable end-to-end, not just rows-counted.
+  // ------------------------------------------------------------------
+
+  /** 60-bit hash from the md5 hex prefix — portable across engines
+    * (DuckDB: CAST('0x' || substr(md5(x),1,15) AS BIGINT)). */
+  def portableHash60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** 32-bit hash from the md5 hex prefix (fits exactly in a double too). */
+  def portableHash32(c: Column): Column =
+    conv(substring(md5(c), 1, 8), 16, 10).cast("long")
+
+  /** (id, sh) exploded distinct character n-gram shingles of the
+    * normalized text; docs shorter than n drop out (both engines). */
+  private def explodedCharShingles(df: DataFrame, idCol: String,
+      textCol: String, n: Int): DataFrame = {
+    val norm = TextOps.normalize(col(textCol))
+    df.select(col(idCol).as("id"), norm.as("nt"))
+      .filter(length(col("nt")) >= n)
+      .select(col("id"), explode(array_distinct(
+        transform(sequence(lit(1), length(col("nt")) - (n - 1)),
+          i => col("nt").substr(i, lit(n))))).as("sh"))
+  }
+
+  private def normSqlDuck = raw"trim(regexp_replace(lower(text),'\s+',' ','g'))"
+  private def shinglesCteDuck(table: String, idCol: String, n: Int): String =
+    s"""WITH nrm AS (SELECT $idCol AS id, $normSqlDuck AS nt FROM $table),
+       |sh AS (SELECT id, unnest(list_distinct(list_transform(
+       |  range(1, length(nt)-${n - 2}), i -> substr(nt,i,$n)))) AS sh
+       |  FROM nrm WHERE length(nt) >= $n)""".stripMargin
+
+  /** MinHash near-dup pairs with EXACT cross-engine semantics: signature
+    * component s = min over shingles of portableHash60(shingle || '|s');
+    * output = pairs agreeing on ≥ ⌈numHashes·threshold⌉ components.
+    *
+    * Candidate generation is single-row banding (r = 1): a pair agreeing
+    * on ANY component shares a band, so every pair the predicate accepts
+    * is a candidate — recall 1 by construction, no all-pairs join. The
+    * scale config trades that guarantee for tighter bands via
+    * [[minHashLshPairs]] (r = 4). */
+  def minHashPortablePairs(df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 5, numHashes: Int = 16, threshold: Double = 0.5): DataFrame = {
+    val ex = explodedCharShingles(df, idCol, textCol, shingleN)
+    val sigs = ex.groupBy(col("id")).agg(
+      array((0 until numHashes).map(s =>
+        min(portableHash60(concat(col("sh"), lit(s"|$s"))))): _*).as("sig"))
+    val banded = sigs.select(col("id"),
+      explode(array((0 until numHashes).map(s =>
+        struct(lit(s).as("s"), col("sig").getItem(s).as("v"))): _*)).as("bk"))
+    val a = banded.select(col("id").as("id_a"), col("bk"))
+    val b = banded.select(col("id").as("id_b"), col("bk"))
+    val pairs = a.join(b, Seq("bk")).filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    val sa = sigs.select(col("id").as("id_a"), col("sig").as("sig_a"))
+    val sb = sigs.select(col("id").as("id_b"), col("sig").as("sig_b"))
+    val minAgree = math.ceil(numHashes * threshold).toInt
+    pairs.join(sa, "id_a").join(sb, "id_b")
+      .select(col("id_a"), col("id_b"),
+        size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y),
+          v => v)).as("n_agree"))
+      .filter(col("n_agree") >= minAgree)
+  }
+
+  /** DuckDB oracle for [[minHashPortablePairs]] — brute force over all
+    * pairs with the identical md5-derived signatures. */
+  def minHashPortableOracleSql(table: String, idCol: String,
+      shingleN: Int = 5, numHashes: Int = 16, threshold: Double = 0.5): String = {
+    val sigCols = (0 until numHashes).map(s =>
+      s"MIN(CAST(('0x' || substr(md5(sh || '|$s'),1,15)) AS BIGINT)) AS m$s").mkString(",\n    ")
+    val agree = (0 until numHashes).map(s =>
+      s"(CASE WHEN a.m$s = b.m$s THEN 1 ELSE 0 END)").mkString(" + ")
+    val minAgree = math.ceil(numHashes * threshold).toInt
+    s"""${shinglesCteDuck(table, idCol, shingleN)},
+       |sig AS (SELECT id, $sigCols FROM sh GROUP BY id)
+       |SELECT a.id AS id_a, b.id AS id_b, CAST($agree AS INT) AS n_agree
+       |FROM sig a JOIN sig b ON a.id < b.id
+       |WHERE $agree >= $minAgree""".stripMargin
+  }
+
+  /** 32-bit portable SimHash per document (md5-derived shingle hashes,
+    * per-bit majority) + pigeonhole-blocked hamming pairs. 32 bits keeps
+    * the hash reproducible in SQL engines without unsigned-64 arithmetic;
+    * the 64-bit xxhash variant ([[simHashPairs]]) is the scale path. */
+  def simHash32Portable(df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 5): DataFrame = {
+    val ex = explodedCharShingles(df, idCol, textCol, shingleN)
+      .select(col("id"), portableHash32(col("sh")).as("hh"))
+    // packed counters: 8 longs × 4 16-bit lanes; counter c lane l = bit c+8l
+    val agg = ex.groupBy(col("id")).agg(
+      count(lit(1)).as("n"),
+      array((0 until 8).map { c =>
+        sum((0 until 4).map { lane =>
+          shiftleft(shiftright(col("hh"), c + 8 * lane).bitwiseAND(1), 16 * lane)
+        }.reduce((x, y) => x.bitwiseOR(y))).as(s"p$c")
+      }: _*).as("packed"))
+    agg.select(col("id"),
+      (0 until 32).map { bit =>
+        val c = bit % 8; val lane = bit / 8
+        val ones = shiftright(col("packed").getItem(c), 16 * lane).bitwiseAND(0xFFFFL)
+        when(ones * 2 > col("n"), lit(1L << bit)).otherwise(lit(0L))
+      }.reduce((x, y) => x.bitwiseOR(y)).as("h"))
+  }
+
+  def simHashPortablePairs(df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 5, maxHamming: Int = 3): DataFrame =
+    hammingJoin(simHash32Portable(df, idCol, textCol, shingleN), "id", "h",
+      32, maxHamming)
+
+  /** DuckDB oracle for [[simHashPortablePairs]]. */
+  def simHashPortableOracleSql(table: String, idCol: String,
+      shingleN: Int = 5, maxHamming: Int = 3): String = {
+    val bitSums = (0 until 32).map(b =>
+      s"CAST(SUM((h >> $b) & 1) AS BIGINT) AS b$b").mkString(",\n    ")
+    val shSum = (0 until 32).map(b =>
+      s"(CASE WHEN b$b*2 > n THEN CAST(${1L << b} AS BIGINT) ELSE 0 END)").mkString(" + ")
+    s"""${shinglesCteDuck(table, idCol, shingleN)},
+       |h AS (SELECT id, CAST(('0x' || substr(md5(sh),1,8)) AS BIGINT) AS h FROM sh),
+       |c AS (SELECT id, COUNT(*) AS n, $bitSums FROM h GROUP BY id),
+       |s AS (SELECT id, $shSum AS h32 FROM c)
+       |SELECT a.id AS id_a, b.id AS id_b,
+       |  CAST(bit_count(xor(a.h32, b.h32)) AS INT) AS hamming
+       |FROM s a JOIN s b ON a.id < b.id
+       |WHERE bit_count(xor(a.h32, b.h32)) <= $maxHamming""".stripMargin
+  }
+
+  /** Portable winnowing-style fingerprint: min portableHash60 over all
+    * `window`-char windows of the normalized text (whole text when
+    * shorter; null when empty). The one-pass RollingHashMin expression is
+    * the scale path; this md5 variant is the SQL-verifiable one.
+    *
+    * Structured as project → explode → min-aggregate so the normalize
+    * regex runs once per document, not once per window (HOF lambdas are
+    * interpreted — no codegen subexpression elimination inside them). */
+  def rollingFpPortable(df: DataFrame, idCol: String, textCol: String,
+      window: Int): DataFrame = {
+    val nrm = df.select(col(idCol), TextOps.normalize(col(textCol)).as("nt"))
+    val windows = nrm
+      .filter(length(col("nt")) > 0)
+      .select(col(idCol),
+        explode(when(length(col("nt")) <= window, array(col("nt")))
+          .otherwise(transform(
+            sequence(lit(1), length(col("nt")) - (window - 1)),
+            i => col("nt").substr(i, lit(window))))).as("w"))
+    val fps = windows.groupBy(col(idCol))
+      .agg(min(portableHash60(col("w"))).as("fp64"))
+    // empty documents keep a row with a null fingerprint (oracle parity)
+    df.select(col(idCol)).join(fps, Seq(idCol), "left")
+  }
+
+  /** DuckDB oracle for [[rollingFpPortable]]. */
+  def rollingFpOracleSql(table: String, idCol: String, window: Int): String =
+    s"""WITH nrm AS (SELECT $idCol AS id, $normSqlDuck AS nt FROM $table)
+       |SELECT id AS $idCol,
+       |  CASE WHEN length(nt) = 0 THEN NULL
+       |       WHEN length(nt) <= $window THEN CAST(('0x' || substr(md5(nt),1,15)) AS BIGINT)
+       |       ELSE list_min(list_transform(range(1, length(nt)-${window - 2}),
+       |              i -> CAST(('0x' || substr(md5(substr(nt,i,$window)),1,15)) AS BIGINT))) END AS fp64
+       |FROM nrm""".stripMargin
 }

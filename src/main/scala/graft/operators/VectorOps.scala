@@ -61,23 +61,68 @@ object VectorOps {
     }.reduce((x, y) => x.bitwiseOR(y))
   }
 
-  /** Bucketed ANN: candidates share the RHP signature bucket; exact cosine
-    * re-rank inside the bucket. Recall is tunable via `bits` (fewer bits →
-    * bigger buckets → higher recall, more compute). */
+  /** Bucketed ANN with `tables` independent RHP hash tables: candidate
+    * neighbors share a bucket in ANY table (union of per-table equi-joins,
+    * deduped on ids only), then exact cosine re-rank. Recall is tunable
+    * via (bits, tables): more tables → higher recall, more candidate
+    * volume; more bits → finer buckets. Never an O(n²) cross join. */
   def annLshTopK(corpus: DataFrame, idCol: String, vecCol: String, k: Int,
-      bits: Int = 8): DataFrame = {
-    val sig = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
-      .withColumn("bucket", rhpSignature(col("v"), bits))
-    val a = sig.select(col("id").as("query_id"), col("v").as("_qv"), col("bucket"))
-    val b = sig.select(col("id").as("neighbor_id"), col("v").as("_cv"), col("bucket"))
-    val scored = a.join(b, Seq("bucket")).filter(col("query_id") =!= col("neighbor_id"))
-      .select(col("query_id"), col("neighbor_id"), cosine(col("_qv"), col("_cv")).as("sim"))
+      bits: Int = 8, tables: Int = 1): DataFrame = {
+    val base = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val sig = base.select(col("id"),
+      explode(array((0 until tables).map { t =>
+        struct(lit(t).as("t"), rhpSignature(col("v"), bits, seed = 42 + 101 * t).as("sig"))
+      }: _*)).as("bucket"))
+    val a = sig.select(col("id").as("query_id"), col("bucket"))
+    val b = sig.select(col("id").as("neighbor_id"), col("bucket"))
+    val cands = a.join(b, Seq("bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select("query_id", "neighbor_id").distinct()
+    val qv = base.select(col("id").as("query_id"), col("v").as("_qv"))
+    val cv = base.select(col("id").as("neighbor_id"), col("v").as("_cv"))
+    val scored = cands.join(qv, "query_id").join(cv, "neighbor_id")
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("_qv"), col("_cv")).as("sim"))
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("query_id", "neighbor_id", "rank")
+  }
+
+  /** EXACT all-pairs cosine ≥ `threshold` via a tiled block self-join.
+    *
+    * Ids hash into `nBlocks` blocks; each block pair (i ≤ j) is one
+    * equi-join tile, so the inherently quadratic work distributes evenly
+    * across nBlocks(nBlocks+1)/2 independent shuffle groups — no
+    * BroadcastNestedLoopJoin, no driver fan-out, per-task memory bounded
+    * by n/nBlocks rows per side. Use when the threshold sits where LSH
+    * recall can't be guaranteed (pairs at the decision boundary); raise
+    * `nBlocks` with corpus size so tiles stay executor-sized. */
+  def cosineDupPairsExact(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, nBlocks: Int = 8): DataFrame = {
+    val v = df.select(col(idCol).as("id"), col(vecCol).as("v"),
+      norm(col(vecCol)).as("nrm"),
+      pmod(hash(col(idCol)), lit(nBlocks)).as("blk"))
+    val spark = df.sparkSession
+    import spark.implicits._
+    val tiles = broadcast(
+      (for { i <- 0 until nBlocks; j <- i until nBlocks } yield (i, j))
+        .toDF("bi", "bj"))
+    val a = v.join(tiles, col("blk") === col("bi"))
+      .select(col("bi"), col("bj"), col("id").as("id_l"),
+        col("v").as("_vl"), col("nrm").as("_nl"))
+    val b = v.join(tiles, col("blk") === col("bj"))
+      .select(col("bi").as("bi2"), col("bj").as("bj2"), col("id").as("id_r"),
+        col("v").as("_vr"), col("nrm").as("_nr"))
+    a.join(b, col("bi") === col("bi2") && col("bj") === col("bj2"))
+      .filter(col("bi") < col("bj") || col("id_l") < col("id_r"))
+      .select(
+        least(col("id_l"), col("id_r")).as("id_a"),
+        greatest(col("id_l"), col("id_r")).as("id_b"),
+        (dot(col("_vl"), col("_vr")) / (col("_nl") * col("_nr"))).as("sim"))
+      .filter(col("sim") >= threshold)
   }
 
   /** Embedding-cosine near-duplicate pairs above `threshold` (id_a<id_b),

@@ -1,0 +1,120 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{ChangeLog, DedupOps, VectorOps}
+
+/** Plan-shape and recall guarantees for the scale-critical operators:
+  * the properties the correctness gate can't see (aggregate strategy,
+  * candidate-blocking completeness, ANN recall, join strategy). */
+class OperatorsScaleSpec extends AnyFunSuite with SparkSessionTestWrapper {
+
+  private val sf = "/root/testdata/sf0.001"
+  private def docs = spark.read.parquet(s"$sf/documents.parquet")
+  private def embs = spark.read.parquet(s"$sf/embeddings.parquet")
+
+  test("ChangeLog.latestByKey plans ObjectHashAggregate (not SortAggregate)") {
+    val df = ChangeLog.latestByKey(
+      spark.read.parquet(s"$sf/events.parquet"), Seq("user_id"), "event_id")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate"), s"plan was:\n$plan")
+    assert(!plan.contains("SortAggregate"), s"plan was:\n$plan")
+  }
+
+  test("latestByKey/earliestByKey values match the window-function reference") {
+    import org.apache.spark.sql.expressions.Window
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+      .select("user_id", "event_id", "event_type")
+    def ref(desc: Boolean) = {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(if (desc) col("event_id").desc else col("event_id").asc)
+      ev.withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    }
+    def got(f: => org.apache.spark.sql.DataFrame) =
+      f.collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(got(ChangeLog.latestByKey(ev, Seq("user_id"), "event_id")) == ref(desc = true))
+    assert(got(ChangeLog.earliestByKey(ev, Seq("user_id"), "event_id")) == ref(desc = false))
+  }
+
+  test("simHashPairs pigeonhole blocking loses no pair at maxHamming=8") {
+    val withH = DedupOps.simHashes(docs, "doc_id", "text", shingleN = 5).cache()
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = pairSet(DedupOps.hammingPairsBruteForce(withH, maxHamming = 8))
+    val blocked = pairSet(DedupOps.simHashPairs(docs, "doc_id", "text",
+      shingleN = 5, maxHamming = 8))
+    assert(blocked == brute,
+      s"missed=${(brute -- blocked).take(5)} extra=${(blocked -- brute).take(5)}")
+    withH.unpersist()
+  }
+
+  test("portable simhash blocking is also complete (32-bit, maxHamming=3)") {
+    val withH = DedupOps.simHash32Portable(docs, "doc_id", "text", shingleN = 5).cache()
+    val brute = DedupOps.hammingPairsBruteForce(withH, maxHamming = 3)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val blocked = DedupOps.simHashPortablePairs(docs, "doc_id", "text",
+      shingleN = 5, maxHamming = 3)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(blocked == brute)
+    withH.unpersist()
+  }
+
+  test("annLshTopK recall >= 0.9 vs brute-force cosine top-k") {
+    val k = 3
+    val truth = VectorOps.cosineTopK(embs, "vec_id", "embedding",
+        embs, "vec_id", "embedding", k)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = VectorOps.annLshTopK(embs, "vec_id", "embedding",
+        k = k, bits = 4, tables = 16)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (truth intersect approx).size.toDouble / truth.size
+    info(f"ann_lsh recall@$k = $recall%.3f (bits=4, tables=16)")
+    assert(recall >= 0.9, f"recall $recall%.3f < 0.9")
+  }
+
+  test("cosineDupPairsExact matches brute force with no BroadcastNestedLoopJoin") {
+    val tiled = VectorOps.cosineDupPairsExact(embs, "vec_id", "embedding",
+      threshold = 0.45, nBlocks = 8)
+    val plan = tiled.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), s"plan was:\n$plan")
+    val e = embs.select(col("vec_id"), col("embedding"),
+      VectorOps.norm(col("embedding")).as("nrm"))
+    val a = e.select(col("vec_id").as("id_a"), col("embedding").as("_va"), col("nrm").as("_na"))
+    val b = e.select(col("vec_id").as("id_b"), col("embedding").as("_vb"), col("nrm").as("_nb"))
+    val brute = a.join(b, col("id_a") < col("id_b"))
+      .filter(VectorOps.dot(col("_va"), col("_vb")) / (col("_na") * col("_nb")) >= 0.45)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = tiled.select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == brute)
+  }
+
+  test("minHashPortablePairs candidates are exhaustive for its predicate") {
+    // r=1 banding: any pair agreeing on >= 1 signature component is a
+    // candidate, so the n_agree >= ceil(nh*t) output equals brute force
+    val nh = 16
+    val got = DedupOps.minHashPortablePairs(docs, "doc_id", "text",
+        shingleN = 5, numHashes = nh, threshold = 0.5)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // brute force: compute signatures, compare all pairs
+    val ex = docs.select(col("doc_id"),
+      explode(array_distinct(transform(
+        sequence(lit(1), length(trim(regexp_replace(lower(col("text")), "\\s+", " "))) - 4),
+        i => trim(regexp_replace(lower(col("text")), "\\s+", " ")).substr(i, lit(5))))).as("sh"))
+    val sigs = ex.groupBy(col("doc_id")).agg(
+      array((0 until nh).map(s =>
+        min(DedupOps.portableHash60(concat(col("sh"), lit(s"|$s"))))): _*).as("sig"))
+    val sa = sigs.select(col("doc_id").as("id_a"), col("sig").as("sa"))
+    val sb = sigs.select(col("doc_id").as("id_b"), col("sig").as("sb"))
+    val brute = sa.join(sb, col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        size(filter(zip_with(col("sa"), col("sb"), (x, y) => x === y), v => v)).as("n"))
+      .filter(col("n") >= 8)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == brute)
+  }
+}
