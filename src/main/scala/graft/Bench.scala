@@ -32,9 +32,15 @@ object Bench {
     // CDC apply throughput: 1M synthesized Debezium events → decode →
     // LWW reduce → bucketed lake MERGE (2 incremental batches)
     val cdcJson = try {
+      import org.apache.spark.sql.functions.{col, max}
       val nEvents = sys.env.getOrElse("SPARK_GRAFT_BENCH_EVENTS", "1000000").toLong
-      val raw = gen.BenchGen.envelopes(spark, nEvents)
-        .withColumn("batch", org.apache.spark.sql.functions.expr("cast(pmod(offset, 2) as int)"))
+      // contiguous offset ranges per batch (as CdcBench does): an
+      // interleaved split would replay later-offset events in an earlier
+      // batch, violating the ordered-batch contract the merge relies on
+      val df = gen.BenchGen.envelopes(spark, nEvents)
+      val maxOff = df.agg(max(col("offset"))).head().getLong(0)
+      val step = maxOff / 2 + 1
+      val raw = df.withColumn("batch", (col("offset") / step).cast("int"))
       val rawPath = java.nio.file.Files.createTempDirectory("bench-raw").toString + "/raw"
       raw.write.partitionBy("batch").parquet(rawPath)
       val actual = spark.read.parquet(rawPath).count()
@@ -48,7 +54,10 @@ object Bench {
       pipe.processBatch(spark.read.parquet(s"$rawPath/batch=0"), 0L)
       pipe.processBatch(spark.read.parquet(s"$rawPath/batch=1"), 1L)
       val wall = (System.nanoTime() - t0) / 1e9
-      s""","cdcApply":{"events":$actual,"wallSec":$wall,"eventsPerSec":${(actual / wall).toLong}}"""
+      val finalRows = table.read().count()
+      val expect = gen.BenchGen.expectedFinalKeys(spark, nEvents)
+      require(finalRows == expect, s"bench parity failure: $finalRows != $expect")
+      s""","cdcApply":{"events":$actual,"wallSec":$wall,"eventsPerSec":${(actual / wall).toLong},"finalRows":$finalRows}"""
     } catch { case e: Throwable => s""","cdcApplyError":"${e.getClass.getSimpleName}"""" }
 
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"$cdcJson}""")

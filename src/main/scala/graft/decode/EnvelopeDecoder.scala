@@ -1,5 +1,7 @@
 package graft.decode
 
+import java.time.{ZoneId, ZonedDateTime}
+
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -16,8 +18,15 @@ import graft.functions.BinaryToDecimal.binaryToDecimal
   * @param validate enforce per-column nullability (missing/null value on a
   *                non-nullable field errors, reference :307-448) and the
   *                null-shape rules via `raise_error`. Off = fast path.
+  * @param connector the stream's connector id when known up front
+  *                ("mysql"/"postgresql"/"oracle"). Postgres lower-cases
+  *                message field names when the declared schema is
+  *                case-sensitive (reference :243,273-287) — this is a
+  *                PLAN-time choice here (one connector per decoded view,
+  *                like the reference's per-partition memoization :554-565).
   */
-case class DecodeOptions(strict: Boolean = true, validate: Boolean = true)
+case class DecodeOptions(strict: Boolean = true, validate: Boolean = true,
+    connector: Option[String] = None)
 
 /** Decodes Debezium change-event envelopes into the typed event IR.
   *
@@ -37,16 +46,38 @@ object EnvelopeDecoder {
 
   val OpCreate = "c"; val OpRead = "r"; val OpUpdate = "u"; val OpDelete = "d"
 
-  /** Raw JSON shape of the envelope value for from_json (fast path: the
-    * per-message `schema` section is skipped by the parser; in non-strict
-    * mode the `before` image is also dropped from the parse schema so
-    * Jackson skips those tokens entirely). */
-  def valueJsonType(schema: CdcSchema, includeBefore: Boolean = true): StructType = {
+  /** Per-field descriptor slice of the message's own schema section
+    * (reference reads `type`/`name`/`parameters` per field, :287-341). */
+  private val fieldDescType = StructType(Seq(
+    StructField("field", StringType),
+    StructField("type", StringType),
+    StructField("name", StringType),
+    StructField("parameters", MapType(StringType, StringType))))
+
+  private def needsMsgSchema(schema: CdcSchema): Boolean =
+    schema.columns.exists(c =>
+      c.encoding == E.TimestampMessage || c.encoding == E.DecimalMessage)
+
+  /** Raw JSON shape of the envelope value for from_json (fast path: in
+    * non-strict mode the `before` image is dropped from the parse schema
+    * so Jackson skips those tokens entirely; the per-message `schema`
+    * section is parsed only when a column needs per-message dispatch). */
+  private def valueJsonType(schema: CdcSchema, includeBefore: Boolean,
+      includeMsgSchema: Boolean, jsonName: String => String): StructType = {
+    val payloadType = StructType(schema.columns.map(c =>
+      StructField(jsonName(c.name), c.rawJsonType, nullable = true)))
     val before =
-      if (includeBefore) Seq(StructField("before", schema.rawPayloadType)) else Nil
-    StructType(Seq(
+      if (includeBefore) Seq(StructField("before", payloadType)) else Nil
+    val msgSchema =
+      if (includeMsgSchema)
+        Seq(StructField("schema", StructType(Seq(
+          StructField("fields", ArrayType(StructType(Seq(
+            StructField("field", StringType),
+            StructField("fields", ArrayType(fieldDescType))))))))))
+      else Nil
+    StructType(msgSchema ++ Seq(
       StructField("payload", StructType(before ++ Seq(
-        StructField("after", schema.rawPayloadType),
+        StructField("after", payloadType),
         StructField("source", StructType(Seq(
           StructField("connector", StringType),
           StructField("ts_ms", LongType)))),
@@ -54,12 +85,20 @@ object EnvelopeDecoder {
         StructField("ts_ms", LongType))))))
   }
 
-  def keyJsonType(schema: CdcSchema): StructType =
-    StructType(Seq(StructField("payload", schema.rawKeyType)))
+  /** Constant epoch-anchored zone offset: the reference re-anchors
+    * io.debezium.time.Timestamp wall-clock millis with the zone offset AT
+    * 1970-01-01 (ZonedDateTime.of(1970,...).plusNanos — reference :412),
+    * NOT the DST-aware offset at the event's own date. */
+  private def anchorMs(timezoneId: String): Long =
+    ZonedDateTime.of(1970, 1, 1, 0, 0, 0, 0, ZoneId.of(timezoneId))
+      .toInstant.toEpochMilli
 
   /** Debezium-semantic coercion of one raw column (the declarative mirror
-    * of rowFromStringObjectMap's type dispatch, reference :271-468). */
-  private def coerce(c: CdcColumn, raw: Column): Column = {
+    * of rowFromStringObjectMap's type dispatch, reference :271-468).
+    * `desc` is the column's per-message schema descriptor (None when no
+    * column needs it). */
+  private def coerce(c: CdcColumn, raw: Column, desc: Option[Column],
+      validate: Boolean): Column = {
     val v = c.encoding match {
       case E.Direct =>
         c.dataType match {
@@ -73,13 +112,50 @@ object EnvelopeDecoder {
         binaryToDecimal(unbase64(raw), lit(dt.scale), dt.precision, dt.scale)
       case E.DecimalString =>
         raw.cast(c.dataType)
+      case E.DecimalMessage =>
+        val dt = c.dataType.asInstanceOf[DecimalType]
+        val d = desc.getOrElse(sys.error(
+          s"column '${c.name}': DecimalMessage requires the message schema section"))
+        // scale comes from the MESSAGE (reference :334-341): a message
+        // whose scale differs from the declared column still decodes to
+        // the correct value, then re-scales into the declared type
+        val msgScale = coalesce(d.getField("parameters").getItem("scale").cast(IntegerType), lit(0))
+        val fromBytes =
+          if (validate)
+            when(d.getField("parameters").isNull,
+              raise_error(lit(s"expected 'parameters' schema for field '${c.name}' of type 'bytes' to be Map[String, String].")))
+              .otherwise(binaryToDecimal(unbase64(raw), msgScale, dt.precision, dt.scale))
+          else binaryToDecimal(unbase64(raw), msgScale, dt.precision, dt.scale)
+        when(raw.isNull, lit(null).cast(dt))
+          .when(d.getField("type") === "string", raw.cast(dt))
+          .otherwise(fromBytes)
       case E.TimestampWallClockMs =>
-        // wall-clock ms re-anchored in the column tz (io.debezium.time.Timestamp)
-        to_utc_timestamp(timestamp_millis(raw), c.timezoneId)
+        // wall-clock ms re-anchored at the 1970 zone offset (constant per
+        // column — matches the reference for DST zones where
+        // to_utc_timestamp would apply the offset at the event's date)
+        timestamp_millis(raw + lit(anchorMs(c.timezoneId)))
       case E.TimestampMicros =>
         // reference truncates micros to millis (:413) — keep parity
         timestamp_millis(graft.functions.ExprUtils.intDiv(raw, 1000L))
+      case E.TimestampZoned =>
+        timestamp_millis(graft.functions.ExprUtils.intDiv(raw, 1000L))
       case E.TimestampIsoString => raw.cast(TimestampType)
+      case E.TimestampMessage =>
+        val d = desc.getOrElse(sys.error(
+          s"column '${c.name}': TimestampMessage requires the message schema section"))
+        val nm = d.getField("name")
+        val num = raw.cast(LongType)
+        // raw was parsed as string: numeric wire values dispatch on the
+        // message's logical-type name (reference :396-438); anything else
+        // is an ISO instant (reference :427 Instant.parse)
+        when(raw.isNull, lit(null).cast(TimestampType))
+          .when(!raw.rlike("^-?[0-9]+$"), raw.cast(TimestampType))
+          .when(nm === "io.debezium.time.Timestamp",
+            timestamp_millis(num + lit(anchorMs(c.timezoneId))))
+          .when(nm.isin("io.debezium.time.MicroTimestamp", "io.debezium.time.ZonedTimestamp"),
+            timestamp_millis(graft.functions.ExprUtils.intDiv(num, 1000L)))
+          .otherwise(raise_error(lit(
+            s"expected 'name' schema for field '${c.name}' to be String but was not provided.")))
       case E.MongoDate => raw.getField("$date").cast(TimestampType)
     }
     v.as(c.name)
@@ -88,9 +164,11 @@ object EnvelopeDecoder {
   /** Build the typed row struct (user cols + lineage) from a raw payload
     * struct; null when the raw payload struct is null. */
   private def payloadStruct(schema: CdcSchema, raw: Column, topic: Column,
-      offset: Column, validate: Boolean, side: String): Column = {
+      offset: Column, validate: Boolean, side: String,
+      jsonName: String => String, msgFields: Option[Column]): Column = {
     val cols = schema.columns.map { c =>
-      val coerced = coerce(c, raw.getField(c.name))
+      val desc = msgFields.map(descFor(_, jsonName(c.name)))
+      val coerced = coerce(c, raw.getField(jsonName(c.name)), desc, validate)
       if (validate && !c.nullable) {
         when(coerced.isNull,
           raise_error(concat(lit(s"missing value for non-nullable field '${c.name}' in $side at offset "),
@@ -103,39 +181,68 @@ object EnvelopeDecoder {
       .otherwise(lit(null).cast(structTypeOf(schema)))
   }
 
+  /** The per-column descriptor from the message schema's field list. */
+  private def descFor(fields: Column, name: String): Column =
+    element_at(filter(fields, f => f.getField("field") === lit(name)), 1)
+
   private def structTypeOf(schema: CdcSchema): StructType = schema.structType
 
   /** Decode relational-connector envelopes (mysql / postgresql / oracle).
     *
     * Input columns: key:binary, value:binary, topic:string, partition:int,
     * offset:long (the DebeziumStringKafkaEvent shape, reference :165-173).
-    * Tombstones (null value) are dropped (reference :529-530).
+    * Tombstones (null value) are dropped (reference :529-530). Null or
+    * unparseable Kafka keys error (reference :539,543-544) — silently
+    * collapsing them onto one merge key would corrupt table state.
     */
   def decodeRelational(raw: DataFrame, schema: CdcSchema,
       opts: DecodeOptions = DecodeOptions()): DataFrame = {
-    val vt = valueJsonType(schema, includeBefore = opts.strict)
-    val kt = keyJsonType(schema)
+    // Postgres folds message field names to lower case when the declared
+    // schema has any upper-case letter (reference :243,273-287)
+    val fold = opts.connector.contains("postgresql") && schema.caseSensitive
+    def jsonName(n: String): String = if (fold) n.toLowerCase else n
+
+    val withMsg = needsMsgSchema(schema)
+    val vt = valueJsonType(schema, includeBefore = opts.strict, withMsg, jsonName)
+    val kt = StructType(Seq(StructField("payload", StructType(
+      schema.keyColumns.map(c =>
+        StructField(jsonName(c.name), c.rawJsonType, nullable = true))))))
 
     val parsed = raw
       .filter(col("value").isNotNull)
       .select(
+        col("key").isNotNull.as("_key_present"),
         from_json(col("key").cast(StringType), kt).as("_k"),
         from_json(col("value").cast(StringType), vt).as("_v"),
         col("topic"), col("offset"))
 
-    // canonical key string: key payload values joined with "|" (reference :546)
-    val keyCol = concat_ws("|",
-      schema.keyColumns.map(c => col(s"_k.payload.${c.name}").cast(StringType)): _*)
+    // canonical key string: key payload values joined with "|" (reference
+    // :546), guarded by the reference's null/shape checks (:539-544)
+    val keyCol =
+      when(!col("_key_present"), raise_error(lit(
+        "invalid configuration. expected 'key' to not be null. ensure primary key or connector 'message.key.columns' is set.")))
+      .when(col("_k").isNull || col("_k.payload").isNull,
+        raise_error(concat(
+          lit("invalid message format. missing or unparseable 'key.payload' at offset "),
+          col("offset").cast(StringType))))
+      .otherwise(concat_ws("|",
+        schema.keyColumns.map(c =>
+          col(s"_k.payload.${jsonName(c.name)}").cast(StringType)): _*))
+
+    val msgFields: Option[Column] =
+      if (withMsg)
+        Some(descOfAfter(col("_v.schema.fields")))
+      else None
 
     val op = col("_v.payload.op")
     val afterRaw = col("_v.payload.after")
     val beforeRaw = col("_v.payload.before")
 
     val after0 = payloadStruct(schema, afterRaw, col("topic"), col("offset"),
-      opts.validate, "after")
+      opts.validate, "after", jsonName, msgFields)
     val before0 = if (opts.strict)
       payloadStruct(schema, beforeRaw, col("topic"), col("offset"),
-        opts.validate, "before")
+        opts.validate, "before", jsonName, msgFields)
     else lit(null).cast(structTypeOf(schema))
 
     // null-shape rules (reference :581,590): before null for c/r; after null for d
@@ -154,8 +261,10 @@ object EnvelopeDecoder {
 
     // typed primary-key struct from the Kafka key (always present, even for
     // deletes where `after` is null) — feeds the lake MERGE bucket routing
-    val pkCol = struct(schema.keyColumns.map(c =>
-      coerce(c, col(s"_k.payload.${c.name}"))): _*)
+    val pkCol = struct(schema.keyColumns.map { c =>
+      val desc = msgFields.map(descFor(_, jsonName(c.name)))
+      coerce(c, col(s"_k.payload.${jsonName(c.name)}"), desc, validate = false)
+    }: _*)
 
     parsed.select(
       keyCol.as("key"),
@@ -167,6 +276,12 @@ object EnvelopeDecoder {
       lit(null).cast(ArrayType(StringType, containsNull = false)).as("keyMask"),
       pkCol.as("pk"))
   }
+
+  /** The `after` entry's field-descriptor list from the message schema
+    * (reference uses the after entry's fields for BOTH images, :573). */
+  private def descOfAfter(schemaFields: Column): Column =
+    element_at(filter(schemaFields,
+      f => f.getField("field") === lit("after")), 1).getField("fields")
 
   /** Reduce decoded events to MERGE-ready deltas: ≤1 row per key via LWW,
     * columns = typed key cols + non-key payload + lineage + `operation`.

@@ -104,20 +104,45 @@ class LakeTable(val spark: SparkSession, val root: String) {
     if (lineage != null) node.set[ObjectNode]("lineage", lineage.deepCopy())
 
     val target = versionFile(s.version)
-    if (fs.exists(target))
+    if (fs.exists(target)) // fast path; the real race is decided below
       throw new IllegalStateException(s"concurrent commit: $target already exists")
     val tmp = new Path(metaDir, s"v${s.version}.json.tmp-${java.util.UUID.randomUUID()}")
     val out = fs.create(tmp, false)
     try out.write(mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(node))
     finally out.close()
-    // rename is atomic on HDFS/local; fails (false) if target appeared
-    if (!fs.rename(tmp, target)) {
-      fs.delete(tmp, false)
-      throw new IllegalStateException(s"concurrent commit: rename to $target failed")
-    }
+    publishExclusive(tmp, target)
     val hint = new Path(metaDir, "version-hint.text")
     val h = fs.create(hint, true)
     try h.write(s.version.toString.getBytes("UTF-8")) finally h.close()
+  }
+
+  /** Publish a fully-written temp file at `target`, failing if `target`
+    * exists — ATOMICALLY on the optimistic-concurrency race.
+    *
+    * POSIX rename(2) silently REPLACES an existing destination, so on a
+    * local filesystem two racing committers would both "succeed" and one
+    * commit's files silently vanish from the snapshot. link(2) is the
+    * exclusive-create primitive: it fails with EEXIST if the target
+    * appeared, and the content is complete before it becomes visible.
+    * On HDFS, rename already refuses an existing destination atomically
+    * at the namenode. */
+  private def publishExclusive(tmp: Path, target: Path): Unit = {
+    if ("file".equals(fs.getUri.getScheme)) {
+      val src = java.nio.file.Paths.get(tmp.toUri.getPath)
+      val dst = java.nio.file.Paths.get(target.toUri.getPath)
+      try java.nio.file.Files.createLink(dst, src)
+      catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          fs.delete(tmp, false)
+          throw new IllegalStateException(s"concurrent commit: $target already exists")
+      }
+      fs.delete(tmp, false)
+    } else {
+      if (!fs.rename(tmp, target)) {
+        fs.delete(tmp, false)
+        throw new IllegalStateException(s"concurrent commit: rename to $target failed")
+      }
+    }
   }
 
   // ------------------------------------------------------------ lifecycle

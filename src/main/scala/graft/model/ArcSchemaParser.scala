@@ -31,13 +31,19 @@ object ArcSchemaParser {
         case "decimal" =>
           val p = if (n.has("precision")) n.get("precision").asInt() else 38
           val s = if (n.has("scale")) n.get("scale").asInt() else 18
-          (DecimalType(p, s), DecimalBytes)
+          // per-message scale dispatch (reference :334-341); the optional
+          // "encoding" hint pins a fixed wire form instead
+          (DecimalType(p, s), decimalEncoding(n, name))
         case "double" => (DoubleType, Direct)
         case "integer" => (IntegerType, Direct)
         case "long" => (LongType, Direct)
         case "string" => (StringType, Direct)
         case "time" => (StringType, Direct) // Arc keeps time-of-day as string
-        case "timestamp" => (TimestampType, TimestampWallClockMs)
+        // the reference dispatches timestamps on EACH message's schema
+        // section name (io.debezium.time.{Timestamp,MicroTimestamp,
+        // ZonedTimestamp}, reference :396-438); "encoding" hint opts into
+        // a fixed fast path that skips the schema-section parse
+        case "timestamp" => (TimestampType, timestampEncoding(n, name))
         case other => sys.error(s"unsupported Arc column type '$other' for '$name'")
       }
       CdcColumn(name, dt, nullable, enc, keyPart = keyNames.contains(name), timezoneId = tz)
@@ -57,6 +63,26 @@ object ArcSchemaParser {
       else None
     }.toMap
   }
+
+  private def timestampEncoding(n: JsonNode, name: String): DebeziumEncoding =
+    if (!n.has("encoding")) TimestampMessage
+    else n.get("encoding").asText() match {
+      case "message" => TimestampMessage
+      case "millis-wallclock" => TimestampWallClockMs
+      case "micros" => TimestampMicros
+      case "zoned" => TimestampZoned
+      case "iso" => TimestampIsoString
+      case other => sys.error(s"unsupported timestamp encoding '$other' for '$name'")
+    }
+
+  private def decimalEncoding(n: JsonNode, name: String): DebeziumEncoding =
+    if (!n.has("encoding")) DecimalMessage
+    else n.get("encoding").asText() match {
+      case "message" => DecimalMessage
+      case "bytes" => DecimalBytes
+      case "string" => DecimalString
+      case other => sys.error(s"unsupported decimal encoding '$other' for '$name'")
+    }
 
   private def req(n: JsonNode, field: String): JsonNode = {
     val v = n.get(field)

@@ -30,6 +30,25 @@ object DebeziumEncoding {
   case object TimestampMicros extends DebeziumEncoding
   /** ISO-8601 instant string (reference :427 Instant.parse). */
   case object TimestampIsoString extends DebeziumEncoding
+  /** io.debezium.time.ZonedTimestamp arriving as int64: micros truncated
+    * to millis, no re-anchoring (reference :414,422). Debezium normally
+    * emits ZonedTimestamp as an ISO string — use TimestampMessage for the
+    * full per-message dispatch. */
+  case object TimestampZoned extends DebeziumEncoding
+  /** Timestamp dispatched per MESSAGE on the envelope's own schema
+    * section (reference :396-438): numeric + name
+    * io.debezium.time.{Timestamp, MicroTimestamp, ZonedTimestamp} each
+    * decode differently; ISO strings parse directly; numeric without a
+    * recognized name errors. This is the reference's actual behavior —
+    * the fixed encodings above are opt-in fast paths that skip the
+    * schema-section parse. */
+  case object TimestampMessage extends DebeziumEncoding
+  /** Decimal dispatched per MESSAGE: schema-section type 'bytes' reads
+    * base64 two's-complement with `parameters.scale` (default 0) from the
+    * message itself (reference :334-341 — a message whose scale differs
+    * from the declared column must still decode to the right VALUE);
+    * type 'string' parses directly. */
+  case object DecimalMessage extends DebeziumEncoding
   /** Mongo extended JSON {"$date": iso} (reference :320,403). */
   case object MongoDate extends DebeziumEncoding
 }
@@ -59,6 +78,11 @@ case class CdcColumn(
     case DebeziumEncoding.TimestampWallClockMs => LongType
     case DebeziumEncoding.TimestampMicros => LongType
     case DebeziumEncoding.TimestampIsoString => StringType
+    case DebeziumEncoding.TimestampZoned => LongType
+    // string: Spark's JSON parser stringifies any scalar token, so one
+    // parse accepts both the numeric and ISO-string wire forms
+    case DebeziumEncoding.TimestampMessage => StringType
+    case DebeziumEncoding.DecimalMessage => StringType
     case DebeziumEncoding.MongoDate => StructType(Seq(StructField("$date", StringType)))
   }
 }
@@ -73,6 +97,11 @@ case class CdcSchema(columns: Seq[CdcColumn]) {
 
   def keyColumns: Seq[CdcColumn] = columns.filter(_.keyPart)
   def keyNames: Seq[String] = keyColumns.map(_.name)
+
+  /** Any upper-case letter in a declared name → Postgres messages carry
+    * lower-cased field names (reference DebeziumTransform.scala:243,
+    * 273-276: "postgres does not support case sensitive column names"). */
+  def caseSensitive: Boolean = columns.exists(c => c.name.toLowerCase != c.name)
 
   private val internalMeta =
     new MetadataBuilder().putBoolean("internal", true).build()

@@ -27,7 +27,7 @@ class CdcStageSpec extends AnyFunSuite with SparkSessionTestWrapper {
     EnvelopeGen.toDataFrame(spark, wl).createOrReplaceTempView("stage_in")
     val out = CdcStage.execute(CdcStageConfig(
       name = "t", inputView = "stage_in", outputView = "stage_out",
-      schema = schema, strict = true, numPartitions = Some(3)))(spark)
+      schema = Some(schema), strict = true, numPartitions = Some(3)))(spark)
     assert(viewSet("stage_out") == oracleSet(wl))
     assert(out.rdd.getNumPartitions == 3)
   }
@@ -45,7 +45,7 @@ class CdcStageSpec extends AnyFunSuite with SparkSessionTestWrapper {
       batch.createOrReplaceTempView(s"stage_b$b")
       CdcStage.execute(CdcStageConfig(
         name = s"b$b", inputView = s"stage_b$b", outputView = s"stage_o$b",
-        schema = schema, strict = true,
+        schema = Some(schema), strict = true,
         initialStateView = prevView, initialStateKey = prevView.map(_ => "conv_id")))(spark)
       prevView = Some(s"stage_o$b")
     }
@@ -58,10 +58,63 @@ class CdcStageSpec extends AnyFunSuite with SparkSessionTestWrapper {
     MongoGen.toDataFrame(spark, wl).createOrReplaceTempView("stage_mongo_in")
     CdcStage.execute(CdcStageConfig(
       name = "m", inputView = "stage_mongo_in", outputView = "stage_mongo_out",
-      schema = MongoGen.schema, strict = true))(spark)
+      schema = Some(MongoGen.schema), strict = true))(spark)
     val got = spark.table("stage_mongo_out").select("_id", "text").collect()
       .map(r => (r.getString(0), r.getString(1))).toSet
     assert(got == wl.finalState.values.map(d => (d.id, d.text)).toSet)
+  }
+
+  test("a streaming inputView requires the connector in config (no head() sniff)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[EnvelopeGen.RawEnvelope]
+    mem.toDF().createOrReplaceTempView("stage_stream_in")
+    val cfg = CdcStageConfig(
+      name = "s", inputView = "stage_stream_in", outputView = "stage_stream_out",
+      schema = Some(schema), strict = false)
+    val e = intercept[IllegalArgumentException] { CdcStage.execute(cfg)(spark) }
+    assert(e.getMessage.contains("streaming"))
+    // with the connector declared, plan building succeeds on a stream
+    val out = CdcStage.execute(cfg.copy(connector = Some("mysql")))(spark)
+    assert(out.isStreaming)
+  }
+
+  test("schema one-of: inline JSON / view resolution, zero or two sources rejected") {
+    val json =
+      """[
+        |{"name":"conv_id","type":"string","nullable":false},
+        |{"name":"turn_idx","type":"integer","nullable":false},
+        |{"name":"role","type":"string","nullable":false},
+        |{"name":"text","type":"string","nullable":false},
+        |{"name":"tool","type":"string","nullable":true},
+        |{"name":"ts","type":"timestamp","encoding":"micros","nullable":false}
+        |]""".stripMargin
+    val wl = EnvelopeGen.workload(seed = 44, nConvs = 8, maxTurns = 3, nTxns = 60)
+    EnvelopeGen.toDataFrame(spark, wl).createOrReplaceTempView("stage_json_in")
+    CdcStage.execute(CdcStageConfig(
+      name = "j", inputView = "stage_json_in", outputView = "stage_json_out",
+      schemaJson = Some(json), keyNames = Seq("conv_id", "turn_idx"),
+      strict = true))(spark)
+    assert(viewSet("stage_json_out") == oracleSet(wl))
+
+    import spark.implicits._
+    Seq(json).toDF("schema_json").createOrReplaceTempView("stage_schema_view")
+    CdcStage.execute(CdcStageConfig(
+      name = "v", inputView = "stage_json_in", outputView = "stage_view_out",
+      schemaView = Some("stage_schema_view"), keyNames = Seq("conv_id", "turn_idx"),
+      strict = true))(spark)
+    assert(viewSet("stage_view_out") == oracleSet(wl))
+
+    intercept[IllegalArgumentException] {
+      CdcStage.execute(CdcStageConfig(
+        name = "x", inputView = "stage_json_in", outputView = "x"))(spark)
+    }
+    intercept[IllegalArgumentException] {
+      CdcStage.execute(CdcStageConfig(
+        name = "x", inputView = "stage_json_in", outputView = "x",
+        schema = Some(schema), schemaJson = Some(json)))(spark)
+    }
   }
 
   test("ArcSchemaParser parses the reference schema format") {
