@@ -168,6 +168,26 @@ object SparkEntry {
       table.read()
         .select("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment", "_offset")
     }),
+    "cdc_lake_mor" -> ((s, dir) => {
+      // merge-on-read ingest: commits write ONLY the reduced batch as
+      // delta files (O(batch), no rewrite); batch 1's deltas are folded
+      // into base files by an explicit compaction; final state is read
+      // back through LWW reconstruction — same oracle as the
+      // copy-on-write pipeline.
+      val (base, upd, del) = customerEnvelopes(s, dir)
+      val tmp = java.nio.file.Files.createTempDirectory("lake-mor-gate").toString
+      val table = new graft.lake.LakeTable(s, tmp)
+      table.create(customerCdcSchema.structType, customerCdcSchema.keyNames, nBuckets = 16)
+      val pipe = new graft.streaming.CdcPipeline(s, customerCdcSchema, table,
+        DecodeOptions(strict = false, validate = true), "gate-mor", mergeOnRead = true)
+      pipe.processBatch(base, 0L)
+      pipe.processBatch(upd.unionByName(del), 1L)
+      table.compact()
+      table.expireSnapshots(keepLast = 1)
+      table.vacuum()
+      table.read()
+        .select("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment", "_offset")
+    }),
     "cdc_strict_roundtrip" -> ((s, dir) => {
       // STRICT path inside the gate: decode with before-images + null-shape
       // validation → per-key chain validation (strictDeltas) → lake MERGE
@@ -403,6 +423,12 @@ object SparkEntry {
         |  CASE WHEN c_custkey % 3 = 0 THEN c_custkey + 10000000 ELSE c_custkey END AS _offset
         |FROM customer WHERE c_custkey % 7 <> 0""".stripMargin,
     "cdc_lake_pipeline" ->
+      """SELECT c_custkey,
+        |  CASE WHEN c_custkey % 3 = 0 THEN c_name || ' rev2' ELSE c_name END AS c_name,
+        |  c_nationkey, c_acctbal, c_mktsegment,
+        |  CASE WHEN c_custkey % 3 = 0 THEN c_custkey + 10000000 ELSE c_custkey END AS _offset
+        |FROM customer WHERE c_custkey % 7 <> 0""".stripMargin,
+    "cdc_lake_mor" ->
       """SELECT c_custkey,
         |  CASE WHEN c_custkey % 3 = 0 THEN c_name || ' rev2' ELSE c_name END AS c_name,
         |  c_nationkey, c_acctbal, c_mktsegment,

@@ -7,9 +7,9 @@ import com.fasterxml.jackson.databind.node.ObjectNode
 
 import org.apache.hadoop.fs.{FileSystem, Path}
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Observation, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DataType, StructType}
+import org.apache.spark.sql.types.{DataType, StringType, StructField, StructType}
 
 /** Minimal Iceberg-style snapshot-committed Parquet table.
   *
@@ -24,20 +24,36 @@ import org.apache.spark.sql.types.{DataType, StructType}
   *  - a snapshot is an immutable list of data files; readers only see
   *    files referenced by a committed snapshot (orphan files from failed
   *    commits are invisible);
-  *  - commits are atomic via filesystem rename of the next version file
-  *    (atomic on HDFS and local fs; single-writer streaming assumed);
+  *  - commits are atomic via exclusive-create of the next version file;
   *  - idempotent re-commit: each snapshot records `(checkpointId →
   *    lastBatchId)`; replaying an already-applied micro-batch is a no-op —
   *    this is the exactly-once anchor for `foreachBatch` replay;
   *  - schema evolution: additive nullable columns recorded in metadata;
   *    old files read through the new schema (missing columns → null);
   *  - time travel: read any retained version — used by the replay-parity
-  *    tests;
+  *    tests; `expireSnapshots` bounds metadata growth, `vacuum` removes
+  *    data files no retained snapshot references;
   *  - data is hash-bucketed by key so MERGE only reads + rewrites the
   *    buckets the delta batch touches (copy-on-write partition pruning:
   *    at 10^10 rows a batch touching 5% of buckets reads 5% of the table).
   *  - per-commit lineage: op counts, source offset range, rows written —
   *    the north rule's per-partition lineage + metrics.
+  *
+  * Two MERGE strategies:
+  *  - `merge` — copy-on-write: affected buckets are read, joined with the
+  *    delta batch and rewritten. Reads stay cheapest (plain scans), but a
+  *    hot batch touching every bucket rewrites the whole table — commit
+  *    cost is O(affected table data).
+  *  - `mergeDeltas` — merge-on-read: the reduced batch is written as
+  *    bucket-partitioned DELTA files (payload + `operation`) and the
+  *    snapshot just appends them; nothing is read or rewritten, so commit
+  *    cost is O(batch) regardless of table size — the 10^10-row streaming
+  *    hot path. Readers reconstruct a bucket by last-writer-wins over the
+  *    commit sequence (one ObjectHashAggregate over base+delta files of
+  *    buckets that have deltas; delta-free buckets scan directly).
+  *    `compact` folds a bucket's deltas back into a base file; merges
+  *    auto-compact once a bucket accumulates `autoCompact` delta commits,
+  *    bounding the read tax.
   */
 class LakeTable(val spark: SparkSession, val root: String) {
 
@@ -46,7 +62,10 @@ class LakeTable(val spark: SparkSession, val root: String) {
   private def metaDir = new Path(root, "metadata")
   private def versionFile(v: Int) = new Path(metaDir, f"v$v%05d.json")
 
-  case class DataFile(path: String, bucket: Int)
+  /** `seq` = version of the commit that wrote the file (orders writers for
+    * merge-on-read reconstruction); `delta` = file carries `operation`
+    * rows to overlay, not final base rows. */
+  case class DataFile(path: String, bucket: Int, seq: Int = 0, delta: Boolean = false)
   case class Snapshot(
       version: Int,
       schema: StructType,
@@ -58,13 +77,14 @@ class LakeTable(val spark: SparkSession, val root: String) {
 
   // ------------------------------------------------------------ metadata
 
-  def currentVersion: Option[Int] = {
-    if (!fs.exists(metaDir)) return None
-    val versions = fs.listStatus(metaDir).map(_.getPath.getName)
+  private def listVersions: Seq[Int] = {
+    if (!fs.exists(metaDir)) return Nil
+    fs.listStatus(metaDir).map(_.getPath.getName)
       .filter(n => n.startsWith("v") && n.endsWith(".json"))
-      .map(n => n.stripPrefix("v").stripSuffix(".json").toInt)
-    if (versions.isEmpty) None else Some(versions.max)
+      .map(n => n.stripPrefix("v").stripSuffix(".json").toInt).toSeq.sorted
   }
+
+  def currentVersion: Option[Int] = listVersions.lastOption
 
   def snapshot(version: Int): Snapshot = {
     val node = mapper.readTree(readFully(versionFile(version)))
@@ -74,7 +94,9 @@ class LakeTable(val spark: SparkSession, val root: String) {
       keyColumns = node.get("keyColumns").elements().asScala.map(_.asText()).toSeq,
       nBuckets = node.get("nBuckets").asInt(),
       files = node.get("files").elements().asScala.map { f =>
-        DataFile(f.get("path").asText(), f.get("bucket").asInt())
+        DataFile(f.get("path").asText(), f.get("bucket").asInt(),
+          if (f.has("seq")) f.get("seq").asInt() else 0,
+          f.has("delta") && f.get("delta").asBoolean())
       }.toSeq,
       commits = node.get("commits").fields().asScala
         .map(e => e.getKey -> e.getValue.asLong()).toMap,
@@ -98,6 +120,7 @@ class LakeTable(val spark: SparkSession, val root: String) {
     val fa = node.putArray("files")
     s.files.foreach { f =>
       val o = fa.addObject(); o.put("path", f.path); o.put("bucket", f.bucket)
+      o.put("seq", f.seq); o.put("delta", f.delta)
     }
     val cm = node.putObject("commits")
     s.commits.foreach { case (k, v) => cm.put(k, v) }
@@ -182,11 +205,15 @@ class LakeTable(val spark: SparkSession, val root: String) {
     pmod(hash(keyColumns.map(col): _*), lit(nBuckets))
 
   /** Read a snapshot (current by default). Missing columns in old files
-    * surface as null through the declared schema. */
+    * surface as null through the declared schema. Buckets carrying delta
+    * files are LWW-reconstructed; delta-free buckets are plain scans. */
   def read(version: Option[Int] = None): DataFrame = {
     val snap = version.map(snapshot).orElse(currentSnapshot)
       .getOrElse(sys.error(s"no table at $root"))
-    readFiles(snap, snap.files)
+    val deltaBuckets = snap.files.filter(_.delta).map(_.bucket).toSet
+    if (deltaBuckets.isEmpty) return readFiles(snap, snap.files)
+    val (morFiles, pureBase) = snap.files.partition(f => deltaBuckets.contains(f.bucket))
+    readFiles(snap, pureBase).unionByName(reconstructRows(snap, morFiles))
   }
 
   private def readFiles(snap: Snapshot, files: Seq[DataFile]): DataFrame =
@@ -195,10 +222,39 @@ class LakeTable(val spark: SparkSession, val root: String) {
     else
       spark.read.schema(snap.schema).parquet(files.map(f => s"$root/${f.path}"): _*)
 
+  /** Merge-on-read reconstruction: base rows overlaid with delta rows,
+    * last writer (greatest commit seq) wins per key, deletes drop out.
+    * One scan per contributing commit (files of a commit share `seq`),
+    * one ObjectHashAggregate — partial aggregation keeps hot keys
+    * combine-side, and the group count is bounded by live keys in the
+    * selected buckets. The number of unioned scans is bounded by the
+    * compaction threshold. */
+  private def reconstructRows(snap: Snapshot, files: Seq[DataFile]): DataFrame = {
+    val keyCols = snap.keyColumns
+    val payloadCols = snap.schema.fieldNames.filterNot(keyCols.contains).toSeq
+    val deltaSchema = StructType(
+      snap.schema.fields :+ StructField("operation", StringType, nullable = true))
+    val parts = files.groupBy(f => (f.seq, f.delta)).toSeq.map { case ((seq, isDelta), fs0) =>
+      val paths = fs0.map(f => s"$root/${f.path}")
+      if (isDelta)
+        spark.read.schema(deltaSchema).parquet(paths: _*)
+          .withColumn("_seq", lit(seq.toLong))
+      else
+        spark.read.schema(snap.schema).parquet(paths: _*)
+          .withColumn("operation", lit("r")).withColumn("_seq", lit(seq.toLong))
+    }
+    val all = parts.reduce(_ unionByName _)
+    all.groupBy(keyCols.map(col): _*)
+      .agg(graft.functions.LastByOffset.lastByOffset(
+        struct((payloadCols :+ "operation").map(col): _*), col("_seq")).as("_w"))
+      .filter(col("_w.operation") =!= "d")
+      .select(keyCols.map(col) ++ payloadCols.map(c => col(s"_w.$c").as(c)): _*)
+  }
+
   // ------------------------------------------------------------ write
 
   /** List parquet files written under a commit dir, keyed by bucket. */
-  private def listCommitFiles(commitDir: Path): Seq[DataFile] = {
+  private def listCommitFiles(commitDir: Path, seq: Int, delta: Boolean): Seq[DataFile] = {
     val it = fs.listFiles(commitDir, true)
     val buf = Seq.newBuilder[DataFile]
     while (it.hasNext) {
@@ -208,7 +264,7 @@ class LakeTable(val spark: SparkSession, val root: String) {
         val rel = p.substring(p.indexOf(root) + root.length + 1)
         val bucket = "_bucket=(\\d+)".r.findFirstMatchIn(p)
           .map(_.group(1).toInt).getOrElse(0)
-        buf += DataFile(rel, bucket)
+        buf += DataFile(rel, bucket, seq, delta)
       }
     }
     buf.result()
@@ -222,7 +278,7 @@ class LakeTable(val spark: SparkSession, val root: String) {
     val commitDir = new Path(root, commitRel)
     df.withColumn("_bucket", bucketCol(cur.keyColumns, cur.nBuckets))
       .write.partitionBy("_bucket").parquet(commitDir.toString)
-    val newFiles = listCommitFiles(commitDir)
+    val newFiles = listCommitFiles(commitDir, cur.version + 1, delta = false)
     val next = cur.copy(version = cur.version + 1,
       files = cur.files ++ newFiles,
       commits = cur.commits + (commitId -> batchId),
@@ -281,7 +337,7 @@ class LakeTable(val spark: SparkSession, val root: String) {
     val affected = stats.map(_.getInt(0)).toSet
     val (affectedFiles, keptFiles) = cur.files.partition(f => affected.contains(f.bucket))
 
-    val snapDf = readFiles(cur, affectedFiles)
+    val snapDf = snapshotRows(cur, affectedFiles)
     // pack both sides; delta wins, op='d' drops the key
     val s = snapDf.select(keyCols.map(col) :+ struct(payloadCols.map(col): _*).as("_snap"): _*)
     val deltaExtraCols = withBucket.columns
@@ -323,7 +379,7 @@ class LakeTable(val spark: SparkSession, val root: String) {
       .write.partitionBy("_bucket").parquet(commitDir.toString)
     val writeMs = (System.nanoTime() - tWrite0) / 1000000
     val tList0 = System.nanoTime()
-    val newFiles = listCommitFiles(commitDir)
+    val newFiles = listCommitFiles(commitDir, cur.version + 1, delta = false)
     val listMs = (System.nanoTime() - tList0) / 1000000
     withBucket.unpersist()
     System.err.println(s"[lake-merge] batch=$batchId statsMs=$statsMs writeMs=$writeMs listMs=$listMs affected=${affected.size}")
@@ -358,5 +414,192 @@ class LakeTable(val spark: SparkSession, val root: String) {
       lineage = Some(lineage))
     writeSnapshot(next)
     next
+  }
+
+  /** Current rows of a file subset: plain scan if no delta files are
+    * present, LWW reconstruction otherwise (lets copy-on-write `merge`
+    * and strict validation run on a table with outstanding deltas). */
+  private def snapshotRows(snap: Snapshot, files: Seq[DataFile]): DataFrame =
+    if (files.exists(_.delta)) reconstructRows(snap, files)
+    else readFiles(snap, files)
+
+  /** MERGE-ON-READ commit: write the reduced delta batch as bucket-
+    * partitioned delta files and append them to the snapshot — nothing is
+    * read or rewritten, so commit cost is O(batch) in table size (the
+    * copy-on-write `merge` is O(affected buckets' data)). Lineage
+    * aggregates are collected by `Dataset.observe` DURING the write job:
+    * the batch is consumed exactly once, no persist, no stats pre-pass.
+    *
+    * Same idempotence contract as `merge`. With `strictValidate`, the
+    * batch's first-op preconditions are checked against the CURRENT state
+    * of the affected buckets through a left join (read amplification but
+    * still no rewrite).
+    *
+    * `autoCompact` > 0 folds a bucket's deltas into a base file once it
+    * accumulates that many delta commits, bounding the read tax. */
+  def mergeDeltas(deltas: DataFrame, checkpointId: String, batchId: Long,
+      strictValidate: Boolean = false, autoCompact: Int = 0): Snapshot = {
+    val t0 = System.nanoTime()
+    val cur = currentSnapshot.getOrElse(sys.error(s"no table at $root"))
+    if (cur.commits.get(checkpointId).exists(_ >= batchId)) return cur
+
+    val keyCols = cur.keyColumns
+    val nb = cur.nBuckets
+    val payloadCols = cur.schema.fieldNames.filterNot(keyCols.contains).toSeq
+    val eventsCol: org.apache.spark.sql.Column =
+      if (deltas.columns.contains("n_events")) sum(col("n_events")).cast("long")
+      else count(lit(1)).cast("long")
+
+    val withBucket = deltas.withColumn("_bucket", bucketCol(keyCols, nb))
+
+    val validated = if (strictValidate) {
+      // affected buckets are needed up front to read only their state
+      val persisted = withBucket.persist(
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+      val affected = persisted.select(col("_bucket")).distinct()
+        .collect().map(_.getInt(0)).toSet
+      val snapDf = snapshotRows(cur, cur.files.filter(f => affected.contains(f.bucket)))
+      val s = snapDf.select(keyCols.map(col) :+
+        struct(payloadCols.map(col): _*).as("_snap"): _*)
+      val joined = persisted.join(s, keyCols, "left_outer")
+      val cmp = payloadCols.filterNot(_ == "_offset")
+      val beforeImg = struct(cmp.map(c => col(s"_first_before.$c")): _*)
+      val snapImg = struct(cmp.map(c => col(s"_snap.$c")): _*)
+      val ok = when(col("_first_op").isin("c", "r"), col("_snap").isNull)
+        .otherwise(col("_snap").isNotNull && (beforeImg <=> snapImg))
+      joined.filter(
+        when(assert_true(ok, concat(lit("strict merge violation: key="),
+          concat_ws("|", keyCols.map(c => col(c).cast("string")): _*),
+          lit(" first_op="), col("_first_op"))).isNull, lit(true)))
+    } else withBucket
+
+    val obs = Observation()
+    val observed = validated.observe(obs,
+      eventsCol.as("events"), count(lit(1)).cast("long").as("keys"),
+      sum(when(col("operation").isin("c", "r"), 1L).otherwise(0L)).as("inserts"),
+      sum(when(col("operation") === "u", 1L).otherwise(0L)).as("updates"),
+      sum(when(col("operation") === "d", 1L).otherwise(0L)).as("deletes"),
+      min(col("offset")).as("offsetMin"), max(col("offset")).as("offsetMax"))
+
+    val commitRel = s"data/commit-${cur.version + 1}"
+    val commitDir = new Path(root, commitRel)
+    val tWrite0 = System.nanoTime()
+    observed
+      .select((keyCols ++ payloadCols ++ Seq("operation", "_bucket")).map(col): _*)
+      .repartition(nb, col("_bucket"))
+      .write.partitionBy("_bucket").parquet(commitDir.toString)
+    val writeMs = (System.nanoTime() - tWrite0) / 1000000
+    val m = obs.get
+    val newFiles = listCommitFiles(commitDir, cur.version + 1, delta = true)
+    if (strictValidate) withBucket.unpersist()
+
+    val durMs = (System.nanoTime() - t0) / 1000000
+    // sums/min/max observe as null on an empty batch
+    def longOf(k: String, default: Long = 0L): Long =
+      Option(m.getOrElse(k, null)).map(_.asInstanceOf[Number].longValue).getOrElse(default)
+    val lineage = mapper.createObjectNode()
+    lineage.put("operation", "mergeDeltas")
+    lineage.put("checkpointId", checkpointId)
+    lineage.put("batchId", batchId)
+    lineage.put("events", longOf("events"))
+    lineage.put("keys", longOf("keys"))
+    lineage.put("inserts", longOf("inserts"))
+    lineage.put("updates", longOf("updates"))
+    lineage.put("deletes", longOf("deletes"))
+    lineage.put("offsetMin", longOf("offsetMin", -1L))
+    lineage.put("offsetMax", longOf("offsetMax", -1L))
+    lineage.put("affectedBuckets", newFiles.map(_.bucket).distinct.size)
+    lineage.put("newDeltaFiles", newFiles.size)
+    lineage.put("durationMs", durMs)
+    System.err.println(s"[lake-mor] batch=$batchId writeMs=$writeMs newFiles=${newFiles.size}")
+
+    val next = cur.copy(version = cur.version + 1,
+      files = cur.files ++ newFiles,
+      commits = cur.commits + (checkpointId -> batchId),
+      lineage = Some(lineage))
+    writeSnapshot(next)
+
+    if (autoCompact > 0) {
+      val hot = next.files.filter(_.delta).groupBy(_.bucket)
+        .collect { case (b, fs0) if fs0.map(_.seq).distinct.size >= autoCompact => b }
+        .toSet
+      if (hot.nonEmpty) return compact(Some(hot))
+    }
+    next
+  }
+
+  /** Fold delta files back into base files for the given buckets (all
+    * delta-carrying buckets by default). A maintenance commit: logical
+    * state is unchanged; the compacted buckets' base+delta files are
+    * replaced by one reconstructed base file per bucket. */
+  def compact(buckets: Option[Set[Int]] = None): Snapshot = {
+    val t0 = System.nanoTime()
+    val cur = currentSnapshot.getOrElse(sys.error(s"no table at $root"))
+    val deltaBuckets = cur.files.filter(_.delta).map(_.bucket).toSet
+    val target = buckets.map(_.intersect(deltaBuckets)).getOrElse(deltaBuckets)
+    if (target.isEmpty) return cur
+    val (targetFiles, keptFiles) = cur.files.partition(f => target.contains(f.bucket))
+
+    val rows = reconstructRows(cur, targetFiles)
+    val commitRel = s"data/compact-${cur.version + 1}"
+    val commitDir = new Path(root, commitRel)
+    rows.withColumn("_bucket", bucketCol(cur.keyColumns, cur.nBuckets))
+      .repartition(target.size, col("_bucket"))
+      .write.partitionBy("_bucket").parquet(commitDir.toString)
+    val newFiles = listCommitFiles(commitDir, cur.version + 1, delta = false)
+    val durMs = (System.nanoTime() - t0) / 1000000
+    System.err.println(s"[lake-compact] buckets=${target.size} removed=${targetFiles.size} durMs=$durMs")
+
+    val next = cur.copy(version = cur.version + 1,
+      files = keptFiles ++ newFiles,
+      lineage = Some(lineageNode("compact", Map(
+        "buckets" -> target.size.toString,
+        "removedFiles" -> targetFiles.size.toString,
+        "newFiles" -> newFiles.size.toString,
+        "durationMs" -> durMs.toString))))
+    writeSnapshot(next)
+    next
+  }
+
+  // ------------------------------------------------------------ maintenance
+
+  /** Drop snapshot metadata older than the newest `keepLast` versions.
+    * Expired versions are no longer time-travel readable; their
+    * exclusively-referenced data files become vacuum-able. Returns the
+    * expired version numbers. */
+  def expireSnapshots(keepLast: Int): Seq[Int] = {
+    require(keepLast >= 1, "must retain at least the current snapshot")
+    val versions = listVersions
+    val expired = versions.dropRight(keepLast)
+    expired.foreach(v => fs.delete(versionFile(v), false))
+    expired
+  }
+
+  /** Delete data files not referenced by any RETAINED snapshot — orphans
+    * from failed commits and files only expired snapshots referenced.
+    * Single-writer maintenance: must not run concurrently with an
+    * in-flight commit (its staged files are not yet referenced). Returns
+    * the number of files deleted. */
+  def vacuum(): Int = {
+    val referenced = listVersions.flatMap(v => snapshot(v).files.map(_.path)).toSet
+    val dataDir = new Path(root, "data")
+    if (!fs.exists(dataDir)) return 0
+    var deleted = 0
+    val it = fs.listFiles(dataDir, true)
+    val toDelete = Seq.newBuilder[Path]
+    while (it.hasNext) {
+      val f = it.next()
+      val p = f.getPath.toString
+      val rel = p.substring(p.indexOf(root) + root.length + 1)
+      if (!referenced.contains(rel) && !f.getPath.getName.startsWith("_"))
+        toDelete += f.getPath
+    }
+    toDelete.result().foreach { p => if (fs.delete(p, false)) deleted += 1 }
+    // prune now-empty commit directories
+    fs.listStatus(dataDir).foreach { d =>
+      if (d.isDirectory && !fs.listFiles(d.getPath, true).hasNext)
+        fs.delete(d.getPath, true)
+    }
+    deleted
   }
 }

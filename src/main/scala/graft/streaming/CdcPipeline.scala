@@ -33,7 +33,9 @@ class CdcPipeline(
     val schema: CdcSchema,
     val table: LakeTable,
     val decodeOptions: DecodeOptions = DecodeOptions(),
-    val checkpointId: String = "cdc-pipeline") {
+    val checkpointId: String = "cdc-pipeline",
+    val mergeOnRead: Boolean = false,
+    val autoCompact: Int = 8) {
 
   private val metricsBuf = scala.collection.mutable.ArrayBuffer[BatchMetrics]()
   def metrics: Seq[BatchMetrics] = metricsBuf.toSeq
@@ -46,8 +48,13 @@ class CdcPipeline(
     val deltas =
       if (decodeOptions.strict) CdcApply.strictDeltas(events, schema)
       else EnvelopeDecoder.toDeltas(events, schema)
-    val snap = table.merge(deltas, checkpointId, batchId,
-      strictValidate = decodeOptions.strict)
+    val snap =
+      if (mergeOnRead)
+        table.mergeDeltas(deltas, checkpointId, batchId,
+          strictValidate = decodeOptions.strict, autoCompact = autoCompact)
+      else
+        table.merge(deltas, checkpointId, batchId,
+          strictValidate = decodeOptions.strict)
     val durMs = math.max(1L, (System.nanoTime() - t0) / 1000000)
     snap.lineage.foreach { l =>
       if (l.has("events")) {

@@ -59,6 +59,27 @@ class CdcPipelineSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(pipe.metrics.map(_.events).sum == rows.length)
   }
 
+  test("merge-on-read streaming ingest: O(batch) commits + auto-compaction reach parity") {
+    val wl = EnvelopeGen.workload(seed = 26, nConvs = 20, maxTurns = 4, nTxns = 300)
+    val table = newTable()
+    val pipe = new CdcPipeline(spark, schema, table,
+      DecodeOptions(strict = false, validate = true), "cp-mor",
+      mergeOnRead = true, autoCompact = 3)
+    val rows = rawRows(wl)
+    val batches = rows.grouped(60).toSeq
+    batches.zipWithIndex.foreach { case (g, i) => pipe.processBatch(g.toDF(), i.toLong) }
+    assert(stateSet(table) == oracleSet(wl))
+    // auto-compaction kept the delta-commit depth per bucket below threshold
+    val perBucketDepth = table.currentSnapshot.get.files.filter(_.delta)
+      .groupBy(_.bucket).values.map(_.map(_.seq).distinct.size)
+    assert(perBucketDepth.forall(_ < 3))
+    // exactly-once replay still holds
+    val v = table.currentVersion
+    batches.zipWithIndex.foreach { case (g, i) => pipe.processBatch(g.toDF(), i.toLong) }
+    assert(table.currentVersion == v)
+    assert(stateSet(table) == oracleSet(wl))
+  }
+
   test("strict streaming ingest with merge-time validation reaches parity") {
     val wl = EnvelopeGen.workload(seed = 21, nConvs = 15, maxTurns = 4, nTxns = 200)
     val table = newTable()

@@ -127,4 +127,144 @@ class LakeTableSpec extends AnyFunSuite with SparkSessionTestWrapper {
     v2.delete()
     assert(stateSet(t.read()) == committed)
   }
+
+  // ------------------------------------------------------ merge-on-read
+
+  test("merge-on-read: chained delta commits reproduce oracle state") {
+    val wl = EnvelopeGen.workload(seed = 30, nConvs = 25, maxTurns = 4, nTxns = 400)
+    val n = wl.ops.length
+    val t = tmpTable()
+    t.mergeDeltas(deltasOf(wl, i => i < n / 3), "cp", 0L)
+    t.mergeDeltas(deltasOf(wl, i => i >= n / 3 && i < 2 * n / 3), "cp", 1L)
+    t.mergeDeltas(deltasOf(wl, i => i >= 2 * n / 3), "cp", 2L)
+    assert(stateSet(t.read()) == oracleSet(wl))
+    // nothing was rewritten: every file in the snapshot is a delta file
+    assert(t.currentSnapshot.get.files.forall(_.delta))
+    // replay is a no-op
+    val v = t.currentVersion
+    t.mergeDeltas(deltasOf(wl, i => i >= 2 * n / 3), "cp", 2L)
+    assert(t.currentVersion == v)
+  }
+
+  test("merge-on-read commit is O(batch): prior files untouched, lineage recorded") {
+    val wl = EnvelopeGen.workload(seed = 31, nConvs = 40, maxTurns = 4, nTxns = 300)
+    val t = tmpTable()
+    t.mergeDeltas(deltasOf(wl), "cp", 0L)
+    val before = t.currentSnapshot.get.files.toSet
+    val one = EnvelopeGen.Workload(
+      IndexedSeq(EnvelopeGen.Create(EnvelopeGen.Turn("conv-solo", 0, "user", "hi", None, 1700000000000000L))),
+      Map.empty)
+    val onlyDelta = EnvelopeDecoder.toDeltas(
+      EnvelopeDecoder.decodeRelational(EnvelopeGen.toDataFrame(spark, one), schema,
+        DecodeOptions(strict = false)), schema)
+    val snap2 = t.mergeDeltas(onlyDelta, "cp", 1L)
+    // ALL prior files retained verbatim; exactly one new delta file
+    assert(before.subsetOf(snap2.files.toSet))
+    val added = snap2.files.toSet -- before
+    assert(added.size == 1 && added.forall(_.delta))
+    val lin = snap2.lineage.get
+    assert(lin.get("operation").asText() == "mergeDeltas")
+    assert(lin.get("keys").asLong() == 1L)
+    assert(lin.get("inserts").asLong() == 1L)
+  }
+
+  test("compaction folds deltas into base; logical state unchanged") {
+    val wl = EnvelopeGen.workload(seed = 32, nConvs = 25, maxTurns = 4, nTxns = 350)
+    val n = wl.ops.length
+    val t = tmpTable()
+    t.mergeDeltas(deltasOf(wl, i => i < n / 2), "cp", 0L)
+    t.mergeDeltas(deltasOf(wl, i => i >= n / 2), "cp", 1L)
+    val preCompact = stateSet(t.read())
+    val snap = t.compact()
+    assert(snap.files.forall(f => !f.delta), "compacted snapshot has no delta files")
+    assert(stateSet(t.read()) == preCompact)
+    assert(preCompact == oracleSet(wl))
+    // compacting a delta-free table is a no-op
+    assert(t.compact().version == snap.version)
+  }
+
+  test("auto-compaction triggers once a bucket accumulates the threshold of delta commits") {
+    val wl = EnvelopeGen.workload(seed = 33, nConvs = 20, maxTurns = 4, nTxns = 300)
+    val n = wl.ops.length
+    val t = tmpTable()
+    t.mergeDeltas(deltasOf(wl, i => i < n / 2), "cp", 0L, autoCompact = 2)
+    assert(t.currentSnapshot.get.files.forall(_.delta))
+    val snap = t.mergeDeltas(deltasOf(wl, i => i >= n / 2), "cp", 1L, autoCompact = 2)
+    assert(snap.lineage.get.get("operation").asText() == "compact")
+    assert(snap.files.forall(f => !f.delta))
+    assert(stateSet(t.read()) == oracleSet(wl))
+  }
+
+  test("copy-on-write merge over outstanding deltas reconstructs, then rewrites") {
+    val wl = EnvelopeGen.workload(seed = 34, nConvs = 25, maxTurns = 4, nTxns = 300)
+    val n = wl.ops.length
+    val t = tmpTable()
+    t.mergeDeltas(deltasOf(wl, i => i < n / 2), "cp", 0L)
+    val snap = t.merge(deltasOf(wl, i => i >= n / 2), "cp", 1L)
+    assert(stateSet(t.read()) == oracleSet(wl))
+    // rewritten buckets must no longer carry delta files
+    val rewritten = snap.lineage.get.get("affectedBuckets").asInt()
+    assert(rewritten > 0)
+  }
+
+  test("merge-on-read strict validation: cross-batch chains pass, forged before-image fails") {
+    import graft.apply.CdcApply
+    val wl = EnvelopeGen.workload(seed = 35, nConvs = 15, maxTurns = 4, nTxns = 200)
+    val n = wl.ops.length
+    val t = tmpTable()
+    def strictDeltasOf(filter: Long => Boolean) = {
+      val df = EnvelopeGen.toDataFrame(spark, wl).filter(col("offset").isin(
+        wl.ops.indices.filter(i => filter(i.toLong)).map(_.toLong): _*))
+      CdcApply.strictDeltas(
+        EnvelopeDecoder.decodeRelational(df, schema, DecodeOptions(strict = true)), schema)
+    }
+    t.mergeDeltas(strictDeltasOf(_ < n / 2), "cp", 0L, strictValidate = true)
+    t.mergeDeltas(strictDeltasOf(_ >= n / 2), "cp", 1L, strictValidate = true)
+    assert(stateSet(t.read()) == oracleSet(wl))
+    // replaying batch 0 under a NEW checkpoint must violate preconditions
+    // ('c' first-ops against already-present rows)
+    val ex = intercept[Exception] {
+      t.mergeDeltas(strictDeltasOf(_ < n / 2), "cp-forged", 0L, strictValidate = true)
+    }
+    def msgs(x: Throwable): Seq[String] =
+      if (x == null) Nil else Option(x.getMessage).toSeq ++ msgs(x.getCause)
+    assert(msgs(ex).exists(_.contains("strict merge violation")))
+  }
+
+  // ------------------------------------------------------ maintenance
+
+  test("expireSnapshots + vacuum delete unreferenced files; current state intact") {
+    val wl = EnvelopeGen.workload(seed = 36, nConvs = 25, maxTurns = 4, nTxns = 300)
+    val n = wl.ops.length
+    val t = tmpTable()
+    t.merge(deltasOf(wl, i => i < n / 2), "cp", 0L)
+    t.merge(deltasOf(wl, i => i >= n / 2), "cp", 1L) // rewrites buckets → v1 files orphaned once expired
+    val committed = stateSet(t.read())
+    // an orphan from a "failed commit" (staged but never referenced)
+    val orphanDir = new java.io.File(t.root, "data/commit-99/_bucket=0")
+    orphanDir.mkdirs()
+    val orphan = new java.io.File(orphanDir, "part-orphan.parquet")
+    java.nio.file.Files.write(orphan.toPath, Array[Byte](1, 2, 3))
+    val expired = t.expireSnapshots(keepLast = 1)
+    assert(expired.nonEmpty)
+    val deleted = t.vacuum()
+    assert(deleted > 0)
+    assert(!orphan.exists())
+    assert(stateSet(t.read()) == committed)
+    assert(committed == oracleSet(wl))
+    // expired versions are no longer readable
+    intercept[Exception] { t.read(Some(1)).collect() }
+  }
+
+  test("vacuum never deletes files a retained snapshot references") {
+    val wl = EnvelopeGen.workload(seed = 37, nConvs = 15, maxTurns = 3, nTxns = 150)
+    val n = wl.ops.length
+    val t = tmpTable()
+    t.merge(deltasOf(wl, i => i < n / 2), "cp", 0L)
+    val v1Rows = t.read(Some(1)).count()
+    t.merge(deltasOf(wl, i => i >= n / 2), "cp", 1L)
+    assert(t.vacuum() == 0, "all files are referenced by retained snapshots")
+    assert(t.read(Some(1)).count() == v1Rows, "time travel survives vacuum")
+    assert(stateSet(t.read()) == oracleSet(wl))
+  }
 }
