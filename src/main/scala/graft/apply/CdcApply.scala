@@ -123,6 +123,109 @@ object CdcApply {
       }
   }
 
+  /** Mongo strict MERGE-ready deltas: compose each key's in-batch patch
+    * chain (reference applyMongoPatch semantics, :500-524) into ONE net
+    * delta, so the lake MERGE can finish the job against only the
+    * affected buckets' snapshot rows — the Mongo analog of
+    * [[strictDeltas]]. Replaces `applyStrict` + `withInitialState`, which
+    * unions the ENTIRE snapshot into every micro-batch's groupByKey —
+    * O(table) per batch at 10^10 rows.
+    *
+    * The net effect of a chain over an unknown base row B is exactly one
+    * of three shapes, and all intra-chain presence checks are decidable
+    * in-batch (patches never empty a document, deletes always do):
+    *  - FULL(row): state independent of B (chain starts with c/r, or
+    *    passes through d → c);
+    *  - PATCH(mask, values): B with masked fields overwritten (chain is
+    *    all 'u');
+    *  - DELETE: absent.
+    * What is NOT decidable in-batch is B's presence itself — exported as
+    * `_first_op` (c/r ⇒ B absent, u/d ⇒ B present; Mongo events carry no
+    * before-image, so presence is the whole precondition) and enforced
+    * inside the merge join. PATCH deltas carry `_patch_mask` (+ lineage
+    * cols, which the reference stamps on every patch); the merge takes
+    * masked fields from the delta and the rest from the snapshot row.
+    */
+  def mongoStrictDeltas(events: DataFrame, schema: CdcSchema): DataFrame = {
+    import org.apache.spark.sql.types._
+    val payloadType = schema.structType
+    val keyNames = schema.keyNames
+    val payloadNames = payloadType.fieldNames.filterNot(keyNames.contains).toSeq
+    val outSchema = StructType(
+      schema.keyColumns.map(c => StructField(c.name, c.dataType, c.nullable)) ++
+      payloadNames.map(n => payloadType(payloadType.fieldIndex(n)).copy(nullable = true)) ++
+      Seq(StructField("operation", StringType, nullable = false),
+        StructField("offset", LongType, nullable = false),
+        StructField("n_events", LongType, nullable = false),
+        StructField("_first_op", StringType, nullable = false),
+        StructField("_patch_mask", ArrayType(StringType, containsNull = false), nullable = true)))
+    implicit val enc = Encoders.row(outSchema)
+    val nFields = payloadType.length
+    val payloadIdx = payloadNames.map(payloadType.fieldIndex)
+    val lineageIdx = Seq("_topic", "_offset").map(payloadType.fieldIndex)
+    val FULL = 0; val PATCH = 1; val DELETE = 2
+
+    events.groupByKey(_.getString(IKey))(Encoders.STRING)
+      .flatMapGroups { (key: String, it: Iterator[Row]) =>
+        val evs = it.toArray.sortBy(_.getLong(IOffset))
+        val acc = new Array[Any](nFields)
+        val mask = scala.collection.mutable.LinkedHashSet[String]()
+        var mode = -1
+        def copyMasked(e: Row): Unit = {
+          val after = e.getStruct(IAfter)
+          val m = e.getSeq[String](IKeyMask)
+          m.foreach { f => acc(payloadType.fieldIndex(f)) = after.get(payloadType.fieldIndex(f)) }
+          lineageIdx.foreach(i => acc(i) = after.get(i))
+          if (mode == PATCH) mask ++= m
+        }
+        def setFull(e: Row): Unit = {
+          val after = e.getStruct(IAfter)
+          var i = 0; while (i < nFields) { acc(i) = after.get(i); i += 1 }
+          mode = FULL
+        }
+        evs.zipWithIndex.foreach { case (e, i) =>
+          val op = e.getString(IOperation)
+          if (i == 0) op match {
+            case OpCreate | OpRead => setFull(e)
+            case OpUpdate => mode = PATCH; copyMasked(e)
+            case OpDelete => mode = DELETE
+            case other => throw new IllegalStateException(s"key '$key': unknown operation '$other'")
+          } else op match {
+            case OpCreate | OpRead =>
+              if (mode != DELETE)
+                throw new IllegalStateException(
+                  s"key '$key': expected previous value to be null for operation '$op'")
+              setFull(e)
+            case OpUpdate =>
+              if (mode == DELETE)
+                throw new IllegalStateException(
+                  s"key '$key': expected previous value to not be null for operation 'u'")
+              copyMasked(e)
+            case OpDelete =>
+              if (mode == DELETE)
+                throw new IllegalStateException(
+                  s"key '$key': expected previous value to not be null for operation 'd'")
+              mode = DELETE
+            case other => throw new IllegalStateException(s"key '$key': unknown operation '$other'")
+          }
+        }
+        val first = evs.head; val last = evs.last
+        val pk = last.getStruct(7)
+        val outOp = if (mode == DELETE) OpDelete else last.getString(IOperation)
+        val payload: Seq[Any] =
+          if (mode == DELETE) Seq.fill(payloadIdx.length)(null)
+          else payloadIdx.map(acc)
+        val outMask: Seq[String] =
+          if (mode == PATCH)
+            (mask.toSeq.filterNot(keyNames.contains) ++ Seq("_topic", "_offset")).distinct
+          else null
+        Iterator.single(Row.fromSeq(
+          (0 until pk.length).map(pk.get) ++ payload ++
+          Seq(outOp, last.getLong(IOffset), evs.length.toLong,
+            first.getString(IOperation), outMask)))
+      }
+  }
+
   /** Adjacent-pair chain checks only (the first event's precondition is
     * validated downstream against the snapshot). */
   private def validateTransitions(key: String, evs: Array[Row]): Unit = {

@@ -341,31 +341,48 @@ class LakeTable(val spark: SparkSession, val root: String) {
     // pack both sides; delta wins, op='d' drops the key
     val s = snapDf.select(keyCols.map(col) :+ struct(payloadCols.map(col): _*).as("_snap"): _*)
     val deltaExtraCols = withBucket.columns
-      .filter(c => c == "operation" || c.startsWith("_first_")).toSeq
+      .filter(c => c == "operation" || c == "_patch_mask" || c.startsWith("_first_")).toSeq
+    val hasBefore = withBucket.columns.contains("_first_before")
+    val hasMask = withBucket.columns.contains("_patch_mask")
     val d = withBucket.select(keyCols.map(col) :+
       struct((payloadCols ++ deltaExtraCols).map(col): _*).as("_delta"): _*)
     val joined = s.join(d, keyCols, "full_outer")
 
     // strict cross-batch validation: the batch's first-op precondition
     // against the snapshot row (reference validateEvents semantics,
-    // distributed through the merge join — no state re-read)
+    // distributed through the merge join — no state re-read). Deltas
+    // without a before-image (Mongo: events carry none) check presence
+    // only, which IS the reference's whole Mongo precondition (:500-524).
     val validated = if (strictValidate) {
       val cmp = payloadCols.filterNot(_ == "_offset")
-      val beforeImg = struct(cmp.map(c => col(s"_delta._first_before.$c")): _*)
-      val snapImg = struct(cmp.map(c => col(s"_snap.$c")): _*)
+      val sameBefore =
+        if (hasBefore) {
+          val beforeImg = struct(cmp.map(c => col(s"_delta._first_before.$c")): _*)
+          val snapImg = struct(cmp.map(c => col(s"_snap.$c")): _*)
+          beforeImg <=> snapImg
+        } else lit(true)
       val ok = col("_delta").isNull ||
         when(col("_delta._first_op").isin("c", "r"), col("_snap").isNull)
-          .otherwise(col("_snap").isNotNull && (beforeImg <=> snapImg))
+          .otherwise(col("_snap").isNotNull && sameBefore)
       joined.filter(
         when(assert_true(ok, concat(lit("strict merge violation: key="),
           concat_ws("|", keyCols.map(c => col(c).cast("string")): _*),
           lit(" first_op="), col("_delta._first_op"))).isNull, lit(true)))
     } else joined
 
+    // per-field merge: full delta rows replace the snapshot row; PATCH
+    // deltas (non-null _patch_mask) take only masked fields from the
+    // delta and the rest from the snapshot row
     val merged = validated
       .filter(col("_delta").isNull || col("_delta.operation") =!= "d")
       .select(keyCols.map(col) ++ payloadCols.map { c =>
-        when(col("_delta").isNotNull, col(s"_delta.$c")).otherwise(col(s"_snap.$c")).as(c)
+        val fromDelta =
+          if (hasMask)
+            when(col("_delta._patch_mask").isNotNull &&
+                 !array_contains(col("_delta._patch_mask"), c), col(s"_snap.$c"))
+              .otherwise(col(s"_delta.$c"))
+          else col(s"_delta.$c")
+        when(col("_delta").isNotNull, fromDelta).otherwise(col(s"_snap.$c")).as(c)
       }: _*)
 
     val commitRel = s"data/commit-${cur.version + 1}"
@@ -439,6 +456,9 @@ class LakeTable(val spark: SparkSession, val root: String) {
     * accumulates that many delta commits, bounding the read tax. */
   def mergeDeltas(deltas: DataFrame, checkpointId: String, batchId: Long,
       strictValidate: Boolean = false, autoCompact: Int = 0): Snapshot = {
+    require(!deltas.columns.contains("_patch_mask"),
+      "PATCH deltas require the copy-on-write merge: merge-on-read " +
+        "reconstruction is last-writer-wins and cannot fold partial updates")
     val t0 = System.nanoTime()
     val cur = currentSnapshot.getOrElse(sys.error(s"no table at $root"))
     if (cur.commits.get(checkpointId).exists(_ >= batchId)) return cur

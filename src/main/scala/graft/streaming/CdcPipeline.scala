@@ -44,12 +44,23 @@ class CdcPipeline(
     * snapshot version. Safe to replay: idempotent on (checkpointId, batchId). */
   def processBatch(raw: DataFrame, batchId: Long): Int = {
     val t0 = System.nanoTime()
-    val events = EnvelopeDecoder.decodeRelational(raw, schema, decodeOptions)
+    val mongo = decodeOptions.connector.contains("mongodb")
+    // Mongo: patch chains composed per key in-batch, presence precondition
+    // + masked-field application finished inside the bucket-pruned merge
+    // join — state is never re-read wholesale (the applyStrict +
+    // withInitialState alternative unions the ENTIRE snapshot per batch)
     val deltas =
-      if (decodeOptions.strict) CdcApply.strictDeltas(events, schema)
-      else EnvelopeDecoder.toDeltas(events, schema)
+      if (mongo) {
+        require(decodeOptions.strict, "connector 'mongodb' requires strict mode")
+        CdcApply.mongoStrictDeltas(
+          graft.decode.MongoDecoder.decode(raw, schema, decodeOptions), schema)
+      } else {
+        val events = EnvelopeDecoder.decodeRelational(raw, schema, decodeOptions)
+        if (decodeOptions.strict) CdcApply.strictDeltas(events, schema)
+        else EnvelopeDecoder.toDeltas(events, schema)
+      }
     val snap =
-      if (mergeOnRead)
+      if (mergeOnRead && !mongo) // PATCH deltas need the copy-on-write join
         table.mergeDeltas(deltas, checkpointId, batchId,
           strictValidate = decodeOptions.strict, autoCompact = autoCompact)
       else
