@@ -371,7 +371,7 @@ object SparkEntry {
     // xxhash one-pass variants are the perf path, spec-verified) ----
     "doc_minhash_lsh" -> ((s, dir) =>
       DedupOps.minHashPortablePairs(t(s, dir, "documents"), "doc_id", "text",
-        shingleN = 5, numHashes = 16, threshold = 0.5)),
+        shingleN = 5, numHashes = 16, threshold = 0.8)),
     "doc_simhash" -> ((s, dir) =>
       DedupOps.simHashPortablePairs(t(s, dir, "documents"), "doc_id", "text",
         shingleN = 5, maxHamming = 3)),
@@ -584,7 +584,7 @@ object SparkEntry {
         |FROM customer WHERE c_custkey % 7 <> 0""".stripMargin,
     "doc_minhash_lsh" ->
       DedupOps.minHashPortableOracleSql("documents", "doc_id",
-        shingleN = 5, numHashes = 16, threshold = 0.5),
+        shingleN = 5, numHashes = 16, threshold = 0.8),
     "doc_simhash" ->
       DedupOps.simHashPortableOracleSql("documents", "doc_id",
         shingleN = 5, maxHamming = 3),

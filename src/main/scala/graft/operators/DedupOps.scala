@@ -189,6 +189,17 @@ object DedupOps {
           i => col("nt").substr(i, lit(n))))).as("sh"))
   }
 
+  /** (id, h32) exploded 32-bit md5-prefix hashes of the distinct n-gram
+    * shingles — the ONE-PASS codegen path for the value-identical
+    * `portableHash32(explodedCharShingles(...))` (the substr-per-window
+    * HOF formulation is O(len²) per document and interpreted; measured
+    * 10× on the sf0.1 dedup queries). */
+  private def explodedCharShingleHashes(df: DataFrame, idCol: String,
+      textCol: String, n: Int): DataFrame =
+    df.select(col(idCol).as("id"),
+      explode(graft.functions.Md5ShingleHashes.md5ShingleHashes(
+        TextOps.normalize(col(textCol)), n)).as("h32"))
+
   private def normSqlDuck = raw"trim(regexp_replace(lower(text),'\s+',' ','g'))"
   private def shinglesCteDuck(table: String, idCol: String, n: Int): String =
     s"""WITH nrm AS (SELECT $idCol AS id, $normSqlDuck AS nt FROM $table),
@@ -196,24 +207,45 @@ object DedupOps {
        |  range(1, length(nt)-${n - 2}), i -> substr(nt,i,$n)))) AS sh
        |  FROM nrm WHERE length(nt) >= $n)""".stripMargin
 
+  /** Universal-hash family shared bit-for-bit by Spark and the SQL oracle:
+    * component s of a shingle's signature contribution is
+    * `(a_s·h32 + b_s) mod P` over ONE md5-derived 32-bit base hash —
+    * 16 cheap affine mixes instead of 16 md5 digests per shingle (the
+    * md5-per-component formulation measured 53 s on the sf0.1 bench; this
+    * one ~16× fewer digests). Constants are deterministic and bounded so
+    * `a·h + b` stays under 2^63 in BOTH engines' signed 64-bit BIGINT. */
+  private[graft] val MinHashP = 4294967311L // prime > 2^32
+  private[graft] def affineA(s: Int): Long =
+    (2654435761L * (s + 1)) % 2147483629L + 1 // in [1, 2^31), nonzero
+  private[graft] def affineB(s: Int): Long =
+    (2246822519L * (s + 1)) % MinHashP
+
   /** MinHash near-dup pairs with EXACT cross-engine semantics: signature
-    * component s = min over shingles of portableHash60(shingle || '|s');
+    * component s = min over shingles of (a_s·md5_32(shingle)+b_s) mod P;
     * output = pairs agreeing on ≥ ⌈numHashes·threshold⌉ components.
     *
-    * Candidate generation is single-row banding (r = 1): a pair agreeing
-    * on ANY component shares a band, so every pair the predicate accepts
-    * is a candidate — recall 1 by construction, no all-pairs join. The
-    * scale config trades that guarantee for tighter bands via
-    * [[minHashLshPairs]] (r = 4). */
+    * Candidate generation is pigeonhole-exact banding DERIVED FROM THE
+    * THRESHOLD: a qualifying pair disagrees on ≤ d = numHashes − minAgree
+    * components, so partitioning the signature into d+1 bands guarantees
+    * at least one band agrees in full — recall 1 by construction, never
+    * an O(n²) join. Higher thresholds get WIDER bands (0.8 of 16 → 4
+    * bands of 4: joint-minima keys, so moderately-similar template docs
+    * stop colliding; 0.5 of 16 degenerates to 9 near-singleton bands,
+    * where a corpus-wide common shingle can still pool a large candidate
+    * group — threshold, not band shape, is the scale lever there). */
   def minHashPortablePairs(df: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 5, numHashes: Int = 16, threshold: Double = 0.5): DataFrame = {
-    val ex = explodedCharShingles(df, idCol, textCol, shingleN)
+    val ex = explodedCharShingleHashes(df, idCol, textCol, shingleN)
     val sigs = ex.groupBy(col("id")).agg(
       array((0 until numHashes).map(s =>
-        min(portableHash60(concat(col("sh"), lit(s"|$s"))))): _*).as("sig"))
+        min((col("h32") * affineA(s) + affineB(s)) % MinHashP)): _*).as("sig"))
+    val minAgree0 = math.ceil(numHashes * threshold).toInt
+    val bands = pigeonholeChunks(numHashes, numHashes - minAgree0)
     val banded = sigs.select(col("id"),
-      explode(array((0 until numHashes).map(s =>
-        struct(lit(s).as("s"), col("sig").getItem(s).as("v"))): _*)).as("bk"))
+      explode(array(bands.zipWithIndex.map { case ((start, w), i) =>
+        struct(lit(i).as("s"),
+          xxhash64(slice(col("sig"), start + 1, w)).as("v"))
+      }: _*)).as("bk"))
     val a = banded.select(col("id").as("id_a"), col("bk"))
     val b = banded.select(col("id").as("id_b"), col("bk"))
     val pairs = a.join(b, Seq("bk")).filter(col("id_a") < col("id_b"))
@@ -233,12 +265,13 @@ object DedupOps {
   def minHashPortableOracleSql(table: String, idCol: String,
       shingleN: Int = 5, numHashes: Int = 16, threshold: Double = 0.5): String = {
     val sigCols = (0 until numHashes).map(s =>
-      s"MIN(CAST(('0x' || substr(md5(sh || '|$s'),1,15)) AS BIGINT)) AS m$s").mkString(",\n    ")
+      s"MIN((h32*${affineA(s)} + ${affineB(s)}) % $MinHashP) AS m$s").mkString(",\n    ")
     val agree = (0 until numHashes).map(s =>
       s"(CASE WHEN a.m$s = b.m$s THEN 1 ELSE 0 END)").mkString(" + ")
     val minAgree = math.ceil(numHashes * threshold).toInt
     s"""${shinglesCteDuck(table, idCol, shingleN)},
-       |sig AS (SELECT id, $sigCols FROM sh GROUP BY id)
+       |hv AS (SELECT id, CAST(('0x' || substr(md5(sh),1,8)) AS BIGINT) AS h32 FROM sh),
+       |sig AS (SELECT id, $sigCols FROM hv GROUP BY id)
        |SELECT a.id AS id_a, b.id AS id_b, CAST($agree AS INT) AS n_agree
        |FROM sig a JOIN sig b ON a.id < b.id
        |WHERE $agree >= $minAgree""".stripMargin
@@ -250,8 +283,8 @@ object DedupOps {
     * the 64-bit xxhash variant ([[simHashPairs]]) is the scale path. */
   def simHash32Portable(df: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 5): DataFrame = {
-    val ex = explodedCharShingles(df, idCol, textCol, shingleN)
-      .select(col("id"), portableHash32(col("sh")).as("hh"))
+    val ex = explodedCharShingleHashes(df, idCol, textCol, shingleN)
+      .select(col("id"), col("h32").as("hh"))
     // packed counters: 8 longs × 4 16-bit lanes; counter c lane l = bit c+8l
     val agg = ex.groupBy(col("id")).agg(
       count(lit(1)).as("n"),

@@ -46,20 +46,14 @@ object VectorOps {
       .select("query_id", "neighbor_id", "rank")
   }
 
-  /** Random-hyperplane LSH signature: `bits` sign bits of dot products with
-    * deterministic pseudo-random hyperplanes derived from xxhash64 of
-    * (seed, dimension index) — reproducible with no stored model. */
-  def rhpSignature(vec: Column, bits: Int, seed: Int = 42): Column = {
-    (0 until bits).map { b =>
-      // hyperplane component h(b, i) in [-1, 1): hash to [0,1) then shift
-      val proj = aggregate(
-        zip_with(vec, sequence(lit(0), size(vec) - 1), (v, i) =>
-          v.cast("double") *
-            ((pmod(xxhash64(lit(seed), lit(b), i), lit(1000003L)).cast("double") / 500001.5) - 1.0)),
-        lit(0.0), (acc, x) => acc + x)
-      when(proj >= 0, shiftleft(lit(1L), b)).otherwise(lit(0L))
-    }.reduce((x, y) => x.bitwiseOR(y))
-  }
+  /** Random-hyperplane LSH signature: `bits` sign bits of dot products
+    * with deterministic pseudo-random hyperplanes — ONE pass over the
+    * vector for all bits via the RhpSignature codegen expression (the
+    * per-bit zip_with/aggregate HOF formulation re-walks the vector once
+    * per bit with interpreted lambdas). Reproducible with no stored
+    * model. */
+  def rhpSignature(vec: Column, bits: Int, seed: Int = 42): Column =
+    graft.functions.RhpSignature.rhpSignature(vec, bits, seed)
 
   /** Bucketed ANN with `tables` independent RHP hash tables: candidate
     * neighbors share a bucket in ANY table (union of per-table equi-joins,

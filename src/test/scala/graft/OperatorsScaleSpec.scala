@@ -107,7 +107,8 @@ class OperatorsScaleSpec extends AnyFunSuite with SparkSessionTestWrapper {
         i => trim(regexp_replace(lower(col("text")), "\\s+", " ")).substr(i, lit(5))))).as("sh"))
     val sigs = ex.groupBy(col("doc_id")).agg(
       array((0 until nh).map(s =>
-        min(DedupOps.portableHash60(concat(col("sh"), lit(s"|$s"))))): _*).as("sig"))
+        min((DedupOps.portableHash32(col("sh")) * DedupOps.affineA(s) +
+          DedupOps.affineB(s)) % DedupOps.MinHashP)): _*).as("sig"))
     val sa = sigs.select(col("doc_id").as("id_a"), col("sig").as("sa"))
     val sb = sigs.select(col("doc_id").as("id_b"), col("sig").as("sb"))
     val brute = sa.join(sb, col("id_a") < col("id_b"))
