@@ -277,6 +277,132 @@ object DedupOps {
        |WHERE $agree >= $minAgree""".stripMargin
   }
 
+  /** Word-set Jaccard near-dup pairs with MINHASH-BAND candidate blocking
+    * (id_a < id_b, exact integer intersection/union counts, kept iff
+    * 2·|∩| ≥ |∪|). The blocking key is `numHashes/rowsPerBand` bands of
+    * `rowsPerBand` joint signature minima — band-group sizes are driven
+    * by actual document similarity, NOT by corpus-level attributes (the
+    * (lang, source) blocking this replaces has O(1) distinct blocks, so
+    * block size — and the per-block quadratic verify — grows linearly
+    * with corpus size). Candidate recall follows the standard MinHashLSH
+    * S-curve (1−(1−j^r)^b); the SQL oracle reproduces the banding with
+    * the identical md5+affine signatures, so results stay exact. */
+  def jaccardBandedPairs(df: DataFrame, idCol: String, textCol: String,
+      numHashes: Int = 16, rowsPerBand: Int = 4): DataFrame = {
+    val d = df.select(col(idCol).as("id"),
+      array_distinct(split(trim(col(textCol)), "\\s+")).as("words"))
+    val ex = d.select(col("id"), explode(col("words")).as("w"))
+      .select(col("id"), portableHash32(col("w")).as("h32"))
+    val sigs = ex.groupBy(col("id")).agg(
+      array((0 until numHashes).map(s =>
+        min((col("h32") * affineA(s) + affineB(s)) % MinHashP)): _*).as("sig"))
+    val bands = numHashes / rowsPerBand
+    // band key carries the RAW component values (not a hash of them) so
+    // the SQL oracle's conjunction joins are exactly equivalent
+    val banded = sigs.select(col("id"),
+      explode(array((0 until bands).map { b =>
+        struct(lit(b).as("b"),
+          slice(col("sig"), b * rowsPerBand + 1, rowsPerBand).as("v"))
+      }: _*)).as("bk"))
+    val a = banded.select(col("id").as("id_a"), col("bk"))
+    val b = banded.select(col("id").as("id_b"), col("bk"))
+    val pairs = a.join(b, Seq("bk")).filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    val wa = d.select(col("id").as("id_a"), col("words").as("wa"))
+    val wb = d.select(col("id").as("id_b"), col("words").as("wb"))
+    pairs.join(wa, "id_a").join(wb, "id_b")
+      .select(col("id_a"), col("id_b"),
+        size(array_intersect(col("wa"), col("wb"))).as("n_inter"),
+        size(array_union(col("wa"), col("wb"))).as("n_union"))
+      .filter(col("n_inter") * 2 >= col("n_union"))
+  }
+
+  /** DuckDB oracle for [[jaccardBandedPairs]]: identical md5+affine
+    * signatures; candidates via OR of per-band component conjunctions. */
+  def jaccardBandedOracleSql(table: String, idCol: String,
+      numHashes: Int = 16, rowsPerBand: Int = 4): String = {
+    val sigCols = (0 until numHashes).map(s =>
+      s"MIN((h32*${affineA(s)} + ${affineB(s)}) % $MinHashP) AS m$s").mkString(",\n    ")
+    val bandCond = (0 until numHashes / rowsPerBand).map { b =>
+      (0 until rowsPerBand).map(r => s"a.m${b * rowsPerBand + r} = b.m${b * rowsPerBand + r}")
+        .mkString("(", " AND ", ")")
+    }.mkString("\n       OR ")
+    s"""WITH d AS (
+       |  SELECT $idCol AS id,
+       |         list_distinct(string_split_regex(trim(text), '\\s+')) AS words
+       |  FROM $table),
+       |hv AS (SELECT id, CAST(('0x' || substr(md5(w),1,8)) AS BIGINT) AS h32
+       |       FROM (SELECT id, unnest(words) AS w FROM d)),
+       |sig AS (SELECT id, $sigCols FROM hv GROUP BY id),
+       |cand AS (
+       |  SELECT a.id AS id_a, b.id AS id_b FROM sig a JOIN sig b
+       |  ON a.id < b.id AND ($bandCond))
+       |SELECT c.id_a, c.id_b,
+       |  CAST(len(list_intersect(da.words, db.words)) AS INT) AS n_inter,
+       |  CAST(len(list_distinct(list_concat(da.words, db.words))) AS INT) AS n_union
+       |FROM cand c JOIN d da ON da.id = c.id_a JOIN d db ON db.id = c.id_b
+       |WHERE len(list_intersect(da.words, db.words)) * 2
+       |      >= len(list_distinct(list_concat(da.words, db.words)))""".stripMargin
+  }
+
+  /** Near-duplicate DEDUP DECISIONS via minhash bucketing + exact Jaccard
+    * verification against the bucket keeper — the scale-true output shape
+    * for a training-data pipeline: one row per document that shares a
+    * signature bucket with a lower-id keeper, carrying the exact
+    * word-set intersection/union vs that keeper. O(n) output even when
+    * the corpus holds giant near-dup cliques (pair enumeration of a
+    * k-clique is k²/2 rows — measured 6.3M pairs on the sf0.1 corpus —
+    * while keep/drop decisions stay one row per doc).
+    *
+    * Bucket key = `numHashes` joint signature minima (md5+affine family,
+    * SQL-reproducible): collision probability ≈ j^numHashes, so buckets
+    * hold only near-identical docs and bucket size tracks duplication,
+    * not corpus size. */
+  def jaccardBandedDedup(df: DataFrame, idCol: String, textCol: String,
+      numHashes: Int = 8): DataFrame = {
+    val d = df.select(col(idCol).as("id"),
+      array_distinct(split(trim(col(textCol)), "\\s+")).as("words"))
+    val ex = d.select(col("id"), explode(col("words")).as("w"))
+      .select(col("id"), portableHash32(col("w")).as("h32"))
+    val sigs = ex.groupBy(col("id")).agg(
+      array((0 until numHashes).map(s =>
+        min((col("h32") * affineA(s) + affineB(s)) % MinHashP)): _*).as("sig"))
+    val grp = sigs.groupBy(col("sig"))
+      .agg(min(col("id")).as("keep_id"), count(lit(1)).as("bucket_size"))
+    val dups = sigs.join(grp, "sig").filter(col("id") =!= col("keep_id"))
+      .select(col("id").as("doc_id"), col("keep_id"))
+    val wd = d.select(col("id").as("doc_id"), col("words").as("wd"))
+    val wk = d.select(col("id").as("keep_id"), col("words").as("wk"))
+    dups.join(wd, "doc_id").join(wk, "keep_id")
+      .select(col("doc_id"), col("keep_id"),
+        size(array_intersect(col("wd"), col("wk"))).as("n_inter"),
+        size(array_union(col("wd"), col("wk"))).as("n_union"))
+  }
+
+  /** DuckDB oracle for [[jaccardBandedDedup]]. */
+  def jaccardBandedDedupOracleSql(table: String, idCol: String,
+      numHashes: Int = 8): String = {
+    val sigCols = (0 until numHashes).map(s =>
+      s"MIN((h32*${affineA(s)} + ${affineB(s)}) % $MinHashP) AS m$s").mkString(",\n    ")
+    val ms = (0 until numHashes).map(s => s"m$s").mkString(", ")
+    s"""WITH d AS (
+       |  SELECT $idCol AS id,
+       |         list_distinct(string_split_regex(trim(text), '\\s+')) AS words
+       |  FROM $table),
+       |hv AS (SELECT id, CAST(('0x' || substr(md5(w),1,8)) AS BIGINT) AS h32
+       |       FROM (SELECT id, unnest(words) AS w FROM d)),
+       |sig AS (SELECT id, $sigCols FROM hv GROUP BY id),
+       |grp AS (SELECT $ms, MIN(id) AS keep_id FROM sig GROUP BY $ms)
+       |SELECT s.id AS doc_id, g.keep_id,
+       |  CAST(len(list_intersect(dd.words, dk.words)) AS INT) AS n_inter,
+       |  CAST(len(list_distinct(list_concat(dd.words, dk.words))) AS INT) AS n_union
+       |FROM sig s
+       |JOIN grp g ON ${(0 until numHashes).map(s => s"s.m$s = g.m$s").mkString(" AND ")}
+       |JOIN d dd ON dd.id = s.id
+       |JOIN d dk ON dk.id = g.keep_id
+       |WHERE s.id <> g.keep_id""".stripMargin
+  }
+
   /** 32-bit portable SimHash per document (md5-derived shingle hashes,
     * per-bit majority) + pigeonhole-blocked hamming pairs. 32 bits keeps
     * the hash reproducible in SQL engines without unsigned-64 arithmetic;

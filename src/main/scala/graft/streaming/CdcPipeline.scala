@@ -35,16 +35,43 @@ class CdcPipeline(
     val decodeOptions: DecodeOptions = DecodeOptions(),
     val checkpointId: String = "cdc-pipeline",
     val mergeOnRead: Boolean = false,
-    val autoCompact: Int = 8) {
+    val autoCompact: Int = 8,
+    val autoEvolve: Boolean = false) {
 
   private val metricsBuf = scala.collection.mutable.ArrayBuffer[BatchMetrics]()
   def metrics: Seq[BatchMetrics] = metricsBuf.toSeq
+
+  private var curSchema: CdcSchema = schema
+  /** The declared schema, including columns added by auto-evolution. */
+  def currentSchema: CdcSchema = curSchema
+
+  /** Handle Debezium schema-evolution messages: if the batch's newest
+    * envelope declares `after` fields the current schema lacks, add them
+    * as nullable columns to BOTH the declared schema and the lake table
+    * (additive in-place evolution; older messages in the same batch
+    * simply decode the new columns as null). One small driver action per
+    * micro-batch (the newest message's schema section), independent of
+    * batch size. No-op on replay: the columns already exist. */
+  private def maybeEvolve(raw: DataFrame): Unit = {
+    import org.apache.spark.sql.functions.{col, desc}
+    val newest = raw.filter(col("value").isNotNull)
+      .orderBy(desc("offset")).select("value").head(1)
+    if (newest.isEmpty) return
+    val json = new String(newest.head.getAs[Array[Byte]](0), "UTF-8")
+    val added = graft.model.MessageSchema.evolvedColumns(json, curSchema)
+    if (added.nonEmpty) {
+      curSchema = curSchema.evolve(added)
+      table.evolveSchema(curSchema.structType)
+    }
+  }
 
   /** Process one (micro-)batch of raw envelopes; returns the committed
     * snapshot version. Safe to replay: idempotent on (checkpointId, batchId). */
   def processBatch(raw: DataFrame, batchId: Long): Int = {
     val t0 = System.nanoTime()
     val mongo = decodeOptions.connector.contains("mongodb")
+    if (autoEvolve && !mongo) maybeEvolve(raw)
+    val schema = curSchema
     // Mongo: patch chains composed per key in-batch, presence precondition
     // + masked-field application finished inside the bucket-pruned merge
     // join — state is never re-read wholesale (the applyStrict +

@@ -157,4 +157,46 @@ class CdcPipelineSpec extends AnyFunSuite with SparkSessionTestWrapper {
     // pre-evolution rows read as null sentiment
     assert(df.filter(col("sentiment").isNull).count() == df.count() - 1)
   }
+
+  test("AUTO schema evolution: a message declaring new fields evolves the table in place") {
+    val table = newTable()
+    val pipe = new CdcPipeline(spark, schema, table,
+      DecodeOptions(strict = false), "cp-autoevolve", autoEvolve = true)
+    val wl = EnvelopeGen.workload(seed = 24, nConvs = 10, maxTurns = 3, nTxns = 50)
+    pipe.processBatch(rawRows(wl).toDF(), 0L)
+    assert(pipe.currentSchema.columns.map(_.name) == schema.columns.map(_.name))
+
+    // a schema-evolution message: its OWN schema section declares the new
+    // nullable columns (string + per-message-encoded timestamp)
+    val k = """{"payload":{"conv_id":"conv-auto","turn_idx":0}}"""
+    val fields = """[{"field":"conv_id","type":"string","optional":false},
+      {"field":"turn_idx","type":"int32","optional":false},
+      {"field":"role","type":"string","optional":false},
+      {"field":"text","type":"string","optional":false},
+      {"field":"tool","type":"string","optional":true},
+      {"field":"ts","type":"int64","optional":false,"name":"io.debezium.time.MicroTimestamp"},
+      {"field":"sentiment","type":"string","optional":true},
+      {"field":"reviewed_at","type":"int64","optional":true,"name":"io.debezium.time.Timestamp"}]"""
+    val v = s"""{"schema":{"type":"struct","fields":[
+      {"field":"before","type":"struct","optional":true,"fields":$fields},
+      {"field":"after","type":"struct","optional":true,"fields":$fields}]},
+      "payload":{"before":null,"after":{"conv_id":"conv-auto","turn_idx":0,"role":"user",
+      "text":"hi","tool":null,"ts":1700000000000000,"sentiment":"positive",
+      "reviewed_at":1700000005000},"source":{"connector":"mysql","ts_ms":1},"op":"c","ts_ms":1}}"""
+    val raw = Seq(EnvelopeGen.RawEnvelope(k.getBytes("UTF-8"), v.getBytes("UTF-8"),
+      "cdc.transcripts", 0, 999999L, new java.sql.Timestamp(0), 0)).toDF()
+    pipe.processBatch(raw, 1L)
+
+    assert(pipe.currentSchema.columns.map(_.name).takeRight(2) == Seq("sentiment", "reviewed_at"))
+    val df = table.read()
+    assert(df.schema.fieldNames.contains("sentiment") && df.schema.fieldNames.contains("reviewed_at"))
+    val row = df.filter(col("conv_id") === "conv-auto").head()
+    assert(row.getAs[String]("sentiment") == "positive")
+    assert(row.getAs[java.sql.Timestamp]("reviewed_at").getTime == 1700000005000L)
+    assert(df.filter(col("sentiment").isNull).count() == df.count() - 1)
+    // replaying the evolution batch is a no-op (columns already exist)
+    val v1 = table.currentVersion
+    pipe.processBatch(raw, 1L)
+    assert(table.currentVersion == v1)
+  }
 }
