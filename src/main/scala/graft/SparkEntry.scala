@@ -374,6 +374,24 @@ object SparkEntry {
       DedupOps.rollingFpPortable(t(s, dir, "documents"), "doc_id", "text",
         window = 16)),
 
+    "mm_decode_meta" -> ((s, dir) => {
+      // multimodal plumbing round trip: synthesize a deterministic binary
+      // asset per doc (16-byte header + content body), carry it as an
+      // opaque binary column, decode the typed metadata struct back with
+      // pure expressions. The oracle recomputes the expected metadata
+      // from first principles (id + text length), verifying the
+      // synthesize→header-decode round trip end to end.
+      import graft.operators.MultimodalOps
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          MultimodalOps.syntheticAsset(col("doc_id"),
+            length(col("text")).cast("long")).as("content"))
+        .select(col("doc_id"), MultimodalOps.decodeMeta(col("content")).as("m"))
+        .select(col("doc_id"), col("m.format").as("format"),
+          col("m.width").as("width"), col("m.height").as("height"),
+          col("m.n_bytes").as("n_bytes"))
+    }),
+
     // rows-only: approximate by construction (recall measured in
     // VectorOpsSpec against the brute-force oracle)
     "ann_lsh" -> ((s, dir) =>
@@ -576,6 +594,13 @@ object SparkEntry {
         shingleN = 5, maxHamming = 3),
     "doc_rolling_fp" ->
       DedupOps.rollingFpOracleSql("documents", "doc_id", window = 16),
+    "mm_decode_meta" ->
+      """SELECT doc_id,
+        |  CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'webp' END AS format,
+        |  CAST(64 + (doc_id * 37) % 960 AS INT) AS width,
+        |  CAST(64 + (doc_id * 53) % 960 AS INT) AS height,
+        |  CAST(16 + LEAST(length(text), 2560) AS INT) AS n_bytes
+        |FROM documents""".stripMargin,
     "ann_topk" ->
       """SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank FROM (
         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,

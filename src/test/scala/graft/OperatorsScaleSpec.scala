@@ -93,6 +93,38 @@ class OperatorsScaleSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(got == brute)
   }
 
+  test("jaccardBandedDedup: O(n) output, no cartesian product, verified values") {
+    val out = DedupOps.jaccardBandedDedup(docs, "doc_id", "text", numHashes = 8)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"plan was:\n$plan")
+    val rows = out.collect()
+    val nDocs = docs.count()
+    assert(rows.length < nDocs, "one decision per dropped doc, never quadratic")
+    // every (doc, keeper) row's intersection/union counts match a direct
+    // computation over the word sets
+    val words = docs.select(col("doc_id"),
+        array_distinct(split(trim(col("text")), "\\s+")).as("w"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSet).toMap
+    rows.foreach { r =>
+      val (d, k) = (r.getLong(0), r.getLong(1))
+      assert(d != k)
+      assert(r.getInt(2) == (words(d) intersect words(k)).size, s"n_inter of ($d,$k)")
+      assert(r.getInt(3) == (words(d) union words(k)).size, s"n_union of ($d,$k)")
+    }
+  }
+
+  test("mergeDeltas refuses PATCH deltas (LWW reconstruction cannot fold them)") {
+    val dir = java.nio.file.Files.createTempDirectory("lake-guard").toString
+    val t = new graft.lake.LakeTable(spark, dir)
+    val schema = graft.model.CdcSchema.transcripts
+    t.create(schema.structType, schema.keyNames, nBuckets = 4)
+    val bogus = spark.range(1).selectExpr("'c' AS conv_id", "0 AS turn_idx",
+      "'u' AS operation", "1L AS offset", "array('text') AS _patch_mask")
+    val ex = intercept[IllegalArgumentException] { t.mergeDeltas(bogus, "cp", 0L) }
+    assert(ex.getMessage.contains("copy-on-write"))
+  }
+
   test("minHashPortablePairs candidates are exhaustive for its predicate") {
     // r=1 banding: any pair agreeing on >= 1 signature component is a
     // candidate, so the n_agree >= ceil(nh*t) output equals brute force
