@@ -216,6 +216,28 @@ class LakeTable(val spark: SparkSession, val root: String) {
     readFiles(snap, pureBase).unionByName(reconstructRows(snap, morFiles))
   }
 
+  /** Column-pruned read: only `columns` (plus, internally, the key
+    * columns and `operation`) flow through the merge-on-read LWW
+    * aggregate, so the parquet scans read just those columns — `read()`
+    * followed by `.select` cannot prune past the reconstruction
+    * aggregate, whose buffer carries the full payload struct. At a
+    * 100-column table scanned for 2 columns this is the difference
+    * between reading 2% and 100% of the bytes. */
+  def readColumns(columns: Seq[String], version: Option[Int] = None): DataFrame = {
+    val snap = version.map(snapshot).orElse(currentSnapshot)
+      .getOrElse(sys.error(s"no table at $root"))
+    val bad = columns.filterNot(snap.schema.fieldNames.contains)
+    require(bad.isEmpty, s"unknown columns: ${bad.mkString(", ")}")
+    val deltaBuckets = snap.files.filter(_.delta).map(_.bucket).toSet
+    if (deltaBuckets.isEmpty)
+      return readFiles(snap, snap.files).select(columns.map(col): _*)
+    val (morFiles, pureBase) = snap.files.partition(f => deltaBuckets.contains(f.bucket))
+    val payload = columns.filterNot(snap.keyColumns.contains)
+    readFiles(snap, pureBase).select(columns.map(col): _*)
+      .unionByName(reconstructRows(snap, morFiles, Some(payload))
+        .select(columns.map(col): _*))
+  }
+
   private def readFiles(snap: Snapshot, files: Seq[DataFile]): DataFrame =
     if (files.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], snap.schema)
@@ -229,9 +251,11 @@ class LakeTable(val spark: SparkSession, val root: String) {
     * combine-side, and the group count is bounded by live keys in the
     * selected buckets. The number of unioned scans is bounded by the
     * compaction threshold. */
-  private def reconstructRows(snap: Snapshot, files: Seq[DataFile]): DataFrame = {
+  private def reconstructRows(snap: Snapshot, files: Seq[DataFile],
+      payloadSubset: Option[Seq[String]] = None): DataFrame = {
     val keyCols = snap.keyColumns
-    val payloadCols = snap.schema.fieldNames.filterNot(keyCols.contains).toSeq
+    val payloadCols = payloadSubset.getOrElse(
+      snap.schema.fieldNames.filterNot(keyCols.contains).toSeq)
     val deltaSchema = StructType(
       snap.schema.fields :+ StructField("operation", StringType, nullable = true))
     val parts = files.groupBy(f => (f.seq, f.delta)).toSeq.map { case ((seq, isDelta), fs0) =>

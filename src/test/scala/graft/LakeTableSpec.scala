@@ -231,6 +231,24 @@ class LakeTableSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(msgs(ex).exists(_.contains("strict merge violation")))
   }
 
+  test("readColumns prunes the parquet scan through the MoR reconstruction") {
+    val wl = EnvelopeGen.workload(seed = 38, nConvs = 20, maxTurns = 4, nTxns = 250)
+    val n = wl.ops.length
+    val t = tmpTable()
+    t.mergeDeltas(deltasOf(wl, i => i < n / 2), "cp", 0L)
+    t.mergeDeltas(deltasOf(wl, i => i >= n / 2), "cp", 1L)
+    val pruned = t.readColumns(Seq("conv_id", "turn_idx", "text"))
+    // values identical to the unpruned read
+    val full = t.read().select("conv_id", "turn_idx", "text")
+    assert(stateSet(pruned) == stateSet(full))
+    assert(stateSet(pruned) == oracleSet(wl))
+    // the parquet scan schema must not contain unrequested payload columns
+    val scans = pruned.queryExecution.executedPlan.toString
+      .split("\n").filter(_.contains("FileScan parquet"))
+    assert(scans.nonEmpty)
+    scans.foreach(l => assert(!l.contains("role"), s"scan not pruned:\n$l"))
+  }
+
   // ------------------------------------------------------ maintenance
 
   test("expireSnapshots + vacuum delete unreferenced files; current state intact") {
