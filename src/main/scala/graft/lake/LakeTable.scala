@@ -9,7 +9,7 @@ import org.apache.hadoop.fs.{FileSystem, Path}
 
 import org.apache.spark.sql.{DataFrame, Observation, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DataType, StringType, StructField, StructType}
+import org.apache.spark.sql.types.{ArrayType, DataType, StringType, StructField, StructType}
 
 /** Minimal Iceberg-style snapshot-committed Parquet table.
   *
@@ -64,8 +64,11 @@ class LakeTable(val spark: SparkSession, val root: String) {
 
   /** `seq` = version of the commit that wrote the file (orders writers for
     * merge-on-read reconstruction); `delta` = file carries `operation`
-    * rows to overlay, not final base rows. */
-  case class DataFile(path: String, bucket: Int, seq: Int = 0, delta: Boolean = false)
+    * rows to overlay, not final base rows; `patch` = delta rows may be
+    * PARTIAL updates (`_patch_mask` column), so reconstruction must fold
+    * in seq order instead of last-writer-wins. */
+  case class DataFile(path: String, bucket: Int, seq: Int = 0,
+      delta: Boolean = false, patch: Boolean = false)
   case class Snapshot(
       version: Int,
       schema: StructType,
@@ -96,7 +99,8 @@ class LakeTable(val spark: SparkSession, val root: String) {
       files = node.get("files").elements().asScala.map { f =>
         DataFile(f.get("path").asText(), f.get("bucket").asInt(),
           if (f.has("seq")) f.get("seq").asInt() else 0,
-          f.has("delta") && f.get("delta").asBoolean())
+          f.has("delta") && f.get("delta").asBoolean(),
+          f.has("patch") && f.get("patch").asBoolean())
       }.toSeq,
       commits = node.get("commits").fields().asScala
         .map(e => e.getKey -> e.getValue.asLong()).toMap,
@@ -120,7 +124,7 @@ class LakeTable(val spark: SparkSession, val root: String) {
     val fa = node.putArray("files")
     s.files.foreach { f =>
       val o = fa.addObject(); o.put("path", f.path); o.put("bucket", f.bucket)
-      o.put("seq", f.seq); o.put("delta", f.delta)
+      o.put("seq", f.seq); o.put("delta", f.delta); o.put("patch", f.patch)
     }
     val cm = node.putObject("commits")
     s.commits.foreach { case (k, v) => cm.put(k, v) }
@@ -244,35 +248,57 @@ class LakeTable(val spark: SparkSession, val root: String) {
     else
       spark.read.schema(snap.schema).parquet(files.map(f => s"$root/${f.path}"): _*)
 
-  /** Merge-on-read reconstruction: base rows overlaid with delta rows,
-    * last writer (greatest commit seq) wins per key, deletes drop out.
-    * One scan per contributing commit (files of a commit share `seq`),
-    * one ObjectHashAggregate — partial aggregation keeps hot keys
-    * combine-side, and the group count is bounded by live keys in the
-    * selected buckets. The number of unioned scans is bounded by the
-    * compaction threshold. */
+  /** Merge-on-read reconstruction: base rows overlaid with delta rows.
+    * When every delta row is a FULL row, the last writer (greatest
+    * commit seq) wins per key and deletes drop out — one LastByOffset
+    * ObjectHashAggregate. When any contributing file carries PARTIAL
+    * (patch-masked) rows, reconstruction folds each key's contributions
+    * in seq order instead (PatchFoldBySeq — LWW would drop the unmasked
+    * fields of the last patch). One scan per contributing commit (files
+    * of a commit share `seq`); partial aggregation keeps hot keys
+    * combine-side; the per-key buffer is bounded by the compaction
+    * threshold. */
   private def reconstructRows(snap: Snapshot, files: Seq[DataFile],
       payloadSubset: Option[Seq[String]] = None): DataFrame = {
     val keyCols = snap.keyColumns
     val payloadCols = payloadSubset.getOrElse(
       snap.schema.fieldNames.filterNot(keyCols.contains).toSeq)
+    val anyPatch = files.exists(_.patch)
+    val maskType = ArrayType(StringType, containsNull = false)
     val deltaSchema = StructType(
       snap.schema.fields :+ StructField("operation", StringType, nullable = true))
-    val parts = files.groupBy(f => (f.seq, f.delta)).toSeq.map { case ((seq, isDelta), fs0) =>
-      val paths = fs0.map(f => s"$root/${f.path}")
-      if (isDelta)
-        spark.read.schema(deltaSchema).parquet(paths: _*)
-          .withColumn("_seq", lit(seq.toLong))
-      else
-        spark.read.schema(snap.schema).parquet(paths: _*)
-          .withColumn("operation", lit("r")).withColumn("_seq", lit(seq.toLong))
+    val patchSchema = StructType(
+      deltaSchema.fields :+ StructField("_patch_mask", maskType, nullable = true))
+    val parts = files.groupBy(f => (f.seq, f.delta, f.patch)).toSeq.map {
+      case ((seq, isDelta, isPatch), fs0) =>
+        val paths = fs0.map(f => s"$root/${f.path}")
+        val base =
+          if (isPatch)
+            spark.read.schema(patchSchema).parquet(paths: _*)
+          else if (isDelta)
+            spark.read.schema(deltaSchema).parquet(paths: _*)
+              .withColumn("_patch_mask", lit(null).cast(maskType))
+          else
+            spark.read.schema(snap.schema).parquet(paths: _*)
+              .withColumn("operation", lit("r"))
+              .withColumn("_patch_mask", lit(null).cast(maskType))
+        base.withColumn("_seq", lit(seq.toLong))
     }
     val all = parts.reduce(_ unionByName _)
-    all.groupBy(keyCols.map(col): _*)
-      .agg(graft.functions.LastByOffset.lastByOffset(
-        struct((payloadCols :+ "operation").map(col): _*), col("_seq")).as("_w"))
-      .filter(col("_w.operation") =!= "d")
-      .select(keyCols.map(col) ++ payloadCols.map(c => col(s"_w.$c").as(c)): _*)
+    if (!anyPatch) {
+      all.groupBy(keyCols.map(col): _*)
+        .agg(graft.functions.LastByOffset.lastByOffset(
+          struct((payloadCols :+ "operation").map(col): _*), col("_seq")).as("_w"))
+        .filter(col("_w.operation") =!= "d")
+        .select(keyCols.map(col) ++ payloadCols.map(c => col(s"_w.$c").as(c)): _*)
+    } else {
+      all.groupBy(keyCols.map(col): _*)
+        .agg(graft.functions.PatchFoldBySeq.patchFoldBySeq(
+          struct((payloadCols ++ Seq("operation", "_patch_mask")).map(col): _*),
+          col("_seq")).as("_w"))
+        .filter(col("_w").isNotNull)
+        .select(keyCols.map(col) ++ payloadCols.map(c => col(s"_w.$c").as(c)): _*)
+    }
   }
 
   // ------------------------------------------------------------ write
@@ -480,13 +506,11 @@ class LakeTable(val spark: SparkSession, val root: String) {
     * accumulates that many delta commits, bounding the read tax. */
   def mergeDeltas(deltas: DataFrame, checkpointId: String, batchId: Long,
       strictValidate: Boolean = false, autoCompact: Int = 0): Snapshot = {
-    require(!deltas.columns.contains("_patch_mask"),
-      "PATCH deltas require the copy-on-write merge: merge-on-read " +
-        "reconstruction is last-writer-wins and cannot fold partial updates")
     val t0 = System.nanoTime()
     val cur = currentSnapshot.getOrElse(sys.error(s"no table at $root"))
     if (cur.commits.get(checkpointId).exists(_ >= batchId)) return cur
 
+    val hasPatch = deltas.columns.contains("_patch_mask")
     val keyCols = cur.keyColumns
     val nb = cur.nBuckets
     val payloadCols = cur.schema.fieldNames.filterNot(keyCols.contains).toSeq
@@ -507,10 +531,16 @@ class LakeTable(val spark: SparkSession, val root: String) {
         struct(payloadCols.map(col): _*).as("_snap"): _*)
       val joined = persisted.join(s, keyCols, "left_outer")
       val cmp = payloadCols.filterNot(_ == "_offset")
-      val beforeImg = struct(cmp.map(c => col(s"_first_before.$c")): _*)
-      val snapImg = struct(cmp.map(c => col(s"_snap.$c")): _*)
+      // deltas without a before-image (Mongo) check presence only —
+      // that IS the reference's whole Mongo precondition (:500-524)
+      val sameBefore =
+        if (deltas.columns.contains("_first_before")) {
+          val beforeImg = struct(cmp.map(c => col(s"_first_before.$c")): _*)
+          val snapImg = struct(cmp.map(c => col(s"_snap.$c")): _*)
+          beforeImg <=> snapImg
+        } else lit(true)
       val ok = when(col("_first_op").isin("c", "r"), col("_snap").isNull)
-        .otherwise(col("_snap").isNotNull && (beforeImg <=> snapImg))
+        .otherwise(col("_snap").isNotNull && sameBefore)
       joined.filter(
         when(assert_true(ok, concat(lit("strict merge violation: key="),
           concat_ws("|", keyCols.map(c => col(c).cast("string")): _*),
@@ -528,13 +558,16 @@ class LakeTable(val spark: SparkSession, val root: String) {
     val commitRel = s"data/commit-${cur.version + 1}"
     val commitDir = new Path(root, commitRel)
     val tWrite0 = System.nanoTime()
+    val outCols = keyCols ++ payloadCols ++ Seq("operation") ++
+      (if (hasPatch) Seq("_patch_mask") else Nil) ++ Seq("_bucket")
     observed
-      .select((keyCols ++ payloadCols ++ Seq("operation", "_bucket")).map(col): _*)
+      .select(outCols.map(col): _*)
       .repartition(nb, col("_bucket"))
       .write.partitionBy("_bucket").parquet(commitDir.toString)
     val writeMs = (System.nanoTime() - tWrite0) / 1000000
     val m = obs.get
     val newFiles = listCommitFiles(commitDir, cur.version + 1, delta = true)
+      .map(_.copy(patch = hasPatch))
     if (strictValidate) withBucket.unpersist()
 
     val durMs = (System.nanoTime() - t0) / 1000000

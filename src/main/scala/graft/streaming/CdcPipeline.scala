@@ -87,7 +87,7 @@ class CdcPipeline(
         else EnvelopeDecoder.toDeltas(events, schema)
       }
     val snap =
-      if (mergeOnRead && !mongo) // PATCH deltas need the copy-on-write join
+      if (mergeOnRead) // Mongo PATCH deltas fold via PatchFoldBySeq on read
         table.mergeDeltas(deltas, checkpointId, batchId,
           strictValidate = decodeOptions.strict, autoCompact = autoCompact)
       else

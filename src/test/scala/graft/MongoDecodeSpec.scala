@@ -93,6 +93,32 @@ class MongoDecodeSpec extends AnyFunSuite with SparkSessionTestWrapper {
       Set(("doc-z", "user", "patched", None, 1700000000000L)))
   }
 
+  test("mongo merge-on-read ingest: patch deltas fold in seq order on read") {
+    // O(batch)-write commits for Mongo too: patch deltas land as delta
+    // files with their masks; reads fold base+patches per key in commit
+    // order (PatchFoldBySeq); compaction folds them into base files
+    val wl = MongoGen.workload(seed = 34, nDocs = 25, nTxns = 250)
+    val dir = java.nio.file.Files.createTempDirectory("lake-mongo-mor").toString
+    val table = new graft.lake.LakeTable(spark, dir)
+    table.create(MongoGen.schema.structType, MongoGen.schema.keyNames, nBuckets = 8)
+    val pipe = new graft.streaming.CdcPipeline(spark, MongoGen.schema, table,
+      DecodeOptions(strict = true, validate = true, connector = Some("mongodb")),
+      "cp-mongo-mor", mergeOnRead = true, autoCompact = 0)
+    val raw = MongoGen.toDataFrame(spark, wl)
+    val n = wl.ops.length
+    Seq((0, n / 3), (n / 3, 2 * n / 3), (2 * n / 3, n)).zipWithIndex.foreach {
+      case ((lo, hi), i) =>
+        pipe.processBatch(raw.filter(s"offset >= $lo and offset < $hi"), i.toLong)
+    }
+    // nothing was rewritten: every data file is a patch-capable delta
+    assert(table.currentSnapshot.get.files.forall(f => f.delta && f.patch))
+    assert(lakeState(table) == oracle(wl))
+    // compaction folds patches into base files; state unchanged
+    table.compact()
+    assert(table.currentSnapshot.get.files.forall(f => !f.delta && !f.patch))
+    assert(lakeState(table) == oracle(wl))
+  }
+
   test("mongo patch against a missing document fails the merge precondition") {
     import MongoGen._
     val wl = Workload(IndexedSeq[MOp](Patch("doc-ghost", Map("text" -> "boo"), Nil)), Map.empty)

@@ -114,17 +114,6 @@ class OperatorsScaleSpec extends AnyFunSuite with SparkSessionTestWrapper {
     }
   }
 
-  test("mergeDeltas refuses PATCH deltas (LWW reconstruction cannot fold them)") {
-    val dir = java.nio.file.Files.createTempDirectory("lake-guard").toString
-    val t = new graft.lake.LakeTable(spark, dir)
-    val schema = graft.model.CdcSchema.transcripts
-    t.create(schema.structType, schema.keyNames, nBuckets = 4)
-    val bogus = spark.range(1).selectExpr("'c' AS conv_id", "0 AS turn_idx",
-      "'u' AS operation", "1L AS offset", "array('text') AS _patch_mask")
-    val ex = intercept[IllegalArgumentException] { t.mergeDeltas(bogus, "cp", 0L) }
-    assert(ex.getMessage.contains("copy-on-write"))
-  }
-
   test("minHashPortablePairs candidates are exhaustive for its predicate") {
     // r=1 banding: any pair agreeing on >= 1 signature component is a
     // candidate, so the n_agree >= ceil(nh*t) output equals brute force
