@@ -118,8 +118,15 @@ object EnvelopeDecoder {
           s"column '${c.name}': DecimalMessage requires the message schema section"))
         // scale comes from the MESSAGE (reference :334-341): a message
         // whose scale differs from the declared column still decodes to
-        // the correct value, then re-scales into the declared type
-        val msgScale = coalesce(d.getField("parameters").getItem("scale").cast(IntegerType), lit(0))
+        // the correct value, then re-scales into the declared type.
+        // Missing `parameters` errors under validate (reference parity);
+        // the validate=false fast path falls back to the DECLARED scale
+        // (scale 0 there would silently decode 10^scale too large). A
+        // present map without a `scale` key is 0, as in the reference.
+        val msgScale =
+          when(d.getField("parameters").isNull, lit(dt.scale))
+            .otherwise(coalesce(
+              d.getField("parameters").getItem("scale").cast(IntegerType), lit(0)))
         val fromBytes =
           if (validate)
             when(d.getField("parameters").isNull,

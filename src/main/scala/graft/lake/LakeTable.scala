@@ -600,7 +600,14 @@ class LakeTable(val spark: SparkSession, val root: String) {
       val hot = next.files.filter(_.delta).groupBy(_.bucket)
         .collect { case (b, fs0) if fs0.map(_.seq).distinct.size >= autoCompact => b }
         .toSet
-      if (hot.nonEmpty) return compact(Some(hot))
+      if (hot.nonEmpty) {
+        val compacted = compact(Some(hot))
+        // the RETURNED snapshot carries the MERGE lineage (the caller's
+        // per-batch metrics need events/op counts — the compact commit's
+        // on-disk lineage stays "compact"), annotated with the compaction
+        lineage.put("autoCompactedBuckets", hot.size)
+        return compacted.copy(lineage = Some(lineage))
+      }
     }
     next
   }

@@ -84,24 +84,26 @@ object DedupOps {
   }
 
   /** 64-bit SimHash per document: per-bit majority vote over shingle
-    * hashes, ONE aggregation pass with 16 packed counters (4×16-bit
-    * counts per long — 65,535-shingle docs max) instead of 64 separate
-    * sums: 4× less aggregate state and far smaller generated code. */
+    * hashes, ONE aggregation pass with 32 packed counters (2×31-bit
+    * counts per long — no overflow below 2^31 shingles per doc; the old
+    * 4×16-bit packing silently corrupted counts past 65,535 distinct
+    * shingles, i.e. ~64KB+ documents) instead of 64 separate sums:
+    * 2× less aggregate state and far smaller generated code. */
   def simHashes(df: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 5): DataFrame = {
     val ex = explodedShingleHashes(df, idCol, textCol, shingleN)
-    // packed(c) accumulates bits c, c+16, c+32, c+48 in lanes 0..3
+    // packed(c) accumulates bits c (lane 0) and c+32 (lane 1)
     val agg = ex.groupBy(col("id")).agg(
       count(lit(1)).as("n"),
-      array((0 until 16).map { c =>
-        sum((0 until 4).map { lane =>
-          shiftleft(shiftright(col("hh"), c + 16 * lane).bitwiseAND(1), 16 * lane)
+      array((0 until 32).map { c =>
+        sum((0 until 2).map { lane =>
+          shiftleft(shiftright(col("hh"), c + 32 * lane).bitwiseAND(1), 31 * lane)
         }.reduce((x, y) => x.bitwiseOR(y))).as(s"p$c")
       }: _*).as("packed"))
     agg.select(col("id"),
       (0 until 64).map { bit =>
-        val c = bit % 16; val lane = bit / 16
-        val ones = shiftright(col("packed").getItem(c), 16 * lane).bitwiseAND(0xFFFFL)
+        val c = bit % 32; val lane = bit / 32
+        val ones = shiftright(col("packed").getItem(c), 31 * lane).bitwiseAND(0x7FFFFFFFL)
         when(ones * 2 > col("n"), lit(1L << bit)).otherwise(lit(0L))
       }.reduce((x, y) => x.bitwiseOR(y)).as("h"))
   }
@@ -137,8 +139,11 @@ object DedupOps {
     val chunks = pigeonholeChunks(width, maxHamming)
     val chunked = withH.select(col(idCol).as("id"), col(hCol).as("h"),
       explode(array(chunks.zipWithIndex.map { case ((start, w), i) =>
+        // 1L << 64 wraps to 1 (mask 0 ⇒ every row in ONE block ⇒ O(n²));
+        // a full-width chunk (maxHamming = 0) keys on the whole hash
+        val mask = if (w >= 64) -1L else (1L << w) - 1
         struct(lit(i).as("c"),
-          shiftright(col(hCol), start).bitwiseAND((1L << w) - 1).as("v"))
+          shiftright(col(hCol), start).bitwiseAND(mask).as("v"))
       }: _*)).as("chunk"))
     val a = chunked.select(col("id").as("id_a"), col("h").as("h_a"), col("chunk"))
     val b = chunked.select(col("id").as("id_b"), col("h").as("h_b"), col("chunk"))
@@ -411,18 +416,19 @@ object DedupOps {
       shingleN: Int = 5): DataFrame = {
     val ex = explodedCharShingleHashes(df, idCol, textCol, shingleN)
       .select(col("id"), col("h32").as("hh"))
-    // packed counters: 8 longs × 4 16-bit lanes; counter c lane l = bit c+8l
+    // packed counters: 16 longs × 2 31-bit lanes (counter c lane l = bit
+    // c+16l) — 16-bit lanes would overflow past 65,535 shingles per doc
     val agg = ex.groupBy(col("id")).agg(
       count(lit(1)).as("n"),
-      array((0 until 8).map { c =>
-        sum((0 until 4).map { lane =>
-          shiftleft(shiftright(col("hh"), c + 8 * lane).bitwiseAND(1), 16 * lane)
+      array((0 until 16).map { c =>
+        sum((0 until 2).map { lane =>
+          shiftleft(shiftright(col("hh"), c + 16 * lane).bitwiseAND(1), 31 * lane)
         }.reduce((x, y) => x.bitwiseOR(y))).as(s"p$c")
       }: _*).as("packed"))
     agg.select(col("id"),
       (0 until 32).map { bit =>
-        val c = bit % 8; val lane = bit / 8
-        val ones = shiftright(col("packed").getItem(c), 16 * lane).bitwiseAND(0xFFFFL)
+        val c = bit % 16; val lane = bit / 16
+        val ones = shiftright(col("packed").getItem(c), 31 * lane).bitwiseAND(0x7FFFFFFFL)
         when(ones * 2 > col("n"), lit(1L << bit)).otherwise(lit(0L))
       }.reduce((x, y) => x.bitwiseOR(y)).as("h"))
   }

@@ -49,9 +49,11 @@ class CdcPipeline(
     * envelope declares `after` fields the current schema lacks, add them
     * as nullable columns to BOTH the declared schema and the lake table
     * (additive in-place evolution; older messages in the same batch
-    * simply decode the new columns as null). One small driver action per
-    * micro-batch (the newest message's schema section), independent of
-    * batch size. No-op on replay: the columns already exist. */
+    * simply decode the new columns as null). Costs one extra top-1 scan
+    * of the raw batch per trigger (TakeOrdered(1), O(batch) with O(1)
+    * memory) — the price of evolution detection; leave autoEvolve off
+    * (the default) when schemas are fixed. No-op on replay: the columns
+    * already exist. */
   private def maybeEvolve(raw: DataFrame): Unit = {
     import org.apache.spark.sql.functions.{col, desc}
     val newest = raw.filter(col("value").isNotNull)

@@ -69,6 +69,11 @@ class CdcPipelineSpec extends AnyFunSuite with SparkSessionTestWrapper {
     val batches = rows.grouped(60).toSeq
     batches.zipWithIndex.foreach { case (g, i) => pipe.processBatch(g.toDF(), i.toLong) }
     assert(stateSet(table) == oracleSet(wl))
+    // every batch records metrics — INCLUDING batches that triggered
+    // auto-compaction (whose returned snapshot must carry the merge
+    // lineage, not the compact commit's)
+    assert(pipe.metrics.length == batches.length)
+    assert(pipe.metrics.map(_.events).sum == rows.length)
     // auto-compaction kept the delta-commit depth per bucket below threshold
     val perBucketDepth = table.currentSnapshot.get.files.filter(_.delta)
       .groupBy(_.bucket).values.map(_.map(_.seq).distinct.size)

@@ -190,7 +190,11 @@ class LakeTableSpec extends AnyFunSuite with SparkSessionTestWrapper {
     t.mergeDeltas(deltasOf(wl, i => i < n / 2), "cp", 0L, autoCompact = 2)
     assert(t.currentSnapshot.get.files.forall(_.delta))
     val snap = t.mergeDeltas(deltasOf(wl, i => i >= n / 2), "cp", 1L, autoCompact = 2)
-    assert(snap.lineage.get.get("operation").asText() == "compact")
+    // the returned snapshot keeps the MERGE lineage (metrics!) annotated
+    // with the compaction; the on-disk commit lineage is "compact"
+    assert(snap.lineage.get.get("operation").asText() == "mergeDeltas")
+    assert(snap.lineage.get.get("autoCompactedBuckets").asInt() > 0)
+    assert(t.snapshot(snap.version).lineage.get.get("operation").asText() == "compact")
     assert(snap.files.forall(f => !f.delta))
     assert(stateSet(t.read()) == oracleSet(wl))
   }

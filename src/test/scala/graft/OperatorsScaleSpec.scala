@@ -93,6 +93,34 @@ class OperatorsScaleSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(got == brute)
   }
 
+  test("jaccardBandedPairs equals brute force restricted to band-sharing pairs") {
+    val rpb = 4; val nh = 16
+    val got = DedupOps.jaccardBandedPairs(docs, "doc_id", "text",
+        numHashes = nh, rowsPerBand = rpb)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3))).toSet
+    // brute force: signatures + all pairs; candidate iff some full band agrees
+    val sigs = docs.select(col("doc_id"),
+        explode(array_distinct(split(trim(col("text")), "\\s+"))).as("w"))
+      .select(col("doc_id"), DedupOps.portableHash32(col("w")).as("h32"))
+      .groupBy("doc_id")
+      .agg(array((0 until nh).map(s => min((col("h32") * DedupOps.affineA(s) +
+        DedupOps.affineB(s)) % DedupOps.MinHashP)): _*).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val words = docs.select(col("doc_id"),
+        array_distinct(split(trim(col("text")), "\\s+")).as("w"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSet).toMap
+    val ids = sigs.keys.toSeq.sorted
+    val brute = (for {
+      a <- ids; b <- ids if a < b
+      if (0 until nh / rpb).exists(band =>
+        (0 until rpb).forall(r => sigs(a)(band * rpb + r) == sigs(b)(band * rpb + r)))
+      inter = (words(a) intersect words(b)).size
+      union = (words(a) union words(b)).size
+      if inter * 2 >= union
+    } yield (a, b, inter, union)).toSet
+    assert(got == brute)
+  }
+
   test("jaccardBandedDedup: O(n) output, no cartesian product, verified values") {
     val out = DedupOps.jaccardBandedDedup(docs, "doc_id", "text", numHashes = 8)
     val plan = out.queryExecution.executedPlan.toString
