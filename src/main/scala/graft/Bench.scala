@@ -20,14 +20,25 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
-    }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    // a failing query must be VISIBLE in the bench artifact (not a silent
+    // -1): record the error class per query and surface the count
+    val results: Map[String, Either[String, Double]] =
+      SparkEntry.queries.map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        val r =
+          try { fn(spark, sfDir).count(); Right((System.nanoTime() - t0) / 1e9) }
+          catch { case e: Throwable => Left(e.getClass.getSimpleName) }
+        name -> r
+      }
+    val qs = results.map {
+      case (k, Right(v)) => s""""$k":$v"""
+      case (k, Left(e)) => s""""$k":{"err":"$e"}"""
+    }.mkString("{", ",", "}")
+    val failed = results.collect { case (k, Left(_)) => k }.toSeq.sorted
+    val errJson =
+      if (failed.isEmpty) ""
+      else s""","queryErrors":${failed.map("\"" + _ + "\"").mkString("[", ",", "]")}"""
+    val total = results.values.collect { case Right(v) => v }.sum
 
     // CDC apply throughput: 1M synthesized Debezium events → decode →
     // LWW reduce → bucketed lake MERGE (2 incremental batches)
@@ -77,7 +88,7 @@ object Bench {
       s""","cdcApply":{"events":$actual,"wallSec":$wall,"eventsPerSec":${(actual / wall).toLong},"finalRows":$finalRows}"""
     } catch { case e: Throwable => s""","cdcApplyError":"${e.getClass.getSimpleName}"""" }
 
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"$cdcJson}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"$errJson$cdcJson}""")
     spark.stop()
   }
 }

@@ -38,8 +38,18 @@ case class CdcStageConfig(
     connector: Option[String] = None,
     strict: Boolean = true,
     initialStateView: Option[String] = None,
+    /** key column(s) of the initial-state view (comma-separated for a
+      * composite key). Validated against the declared schema's key columns
+      * — the reference groups the state view by this field
+      * (DebeziumTransform.scala:660-680), so a mismatch silently merges on
+      * the wrong key; here it errors. */
     initialStateKey: Option[String] = None,
     persist: Boolean = false,
+    /** cache level for `persist` (reference passes
+      * arcContext.storageLevel, DebeziumTransform.scala:793; tests use
+      * MEMORY_AND_DISK_SER). */
+    storageLevel: org.apache.spark.storage.StorageLevel =
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER,
     numPartitions: Option[Int] = None,
     partitionBy: List[String] = Nil)
 
@@ -78,6 +88,16 @@ object CdcStage {
   def execute(cfg: CdcStageConfig)(implicit spark: SparkSession): DataFrame = {
     val raw = spark.table(cfg.inputView)
     val schema = resolveSchema(cfg)
+
+    // the reference groups initialStateView by initialStateKey — accepting
+    // a key that differs from the declared key columns would merge state on
+    // the wrong column with no error
+    cfg.initialStateKey.foreach { k =>
+      val keys = k.split(",").map(_.trim).toSeq
+      require(keys == schema.keyNames,
+        s"initialStateKey '${k}' does not match the declared key columns " +
+          schema.keyNames.mkString("[", ",", "]"))
+    }
 
     // connector routing: from config, or (batch only) peek the first
     // non-tombstone envelope. A streaming view cannot be sniffed — head()
@@ -131,7 +151,7 @@ object CdcStage {
     // O19 view sink + optional cache
     repartitioned.createOrReplaceTempView(cfg.outputView)
     if (cfg.persist && !repartitioned.isStreaming) {
-      spark.catalog.cacheTable(cfg.outputView)
+      spark.catalog.cacheTable(cfg.outputView, cfg.storageLevel)
       repartitioned.count()
     }
     repartitioned

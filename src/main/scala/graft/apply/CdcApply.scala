@@ -28,9 +28,10 @@ object CdcApply {
   val OpCreate = "c"; val OpRead = "r"; val OpUpdate = "u"; val OpDelete = "d"
   val ConnectorState = "state"; val ConnectorMongo = "mongodb"
 
-  // event IR field indices (mirror of reference :190-196)
+  // event IR field indices (mirror of reference :190-196); IPk = the typed
+  // primary-key struct the decoders append after keyMask
   val IKey = 0; val IOffset = 1; val IConnector = 2; val IOperation = 3
-  val IBefore = 4; val IAfter = 5; val IKeyMask = 6
+  val IBefore = 4; val IAfter = 5; val IKeyMask = 6; val IPk = 7
 
   import graft.functions.LastByOffset.lastByOffset
 
@@ -110,7 +111,7 @@ object CdcApply {
         val last = evs.last
         val lastOp = last.getString(IOperation)
         // typed key values from the pk struct (present even for deletes)
-        val pk = last.getStruct(7 /* pk appended after keyMask */)
+        val pk = last.getStruct(IPk)
         val payload: Seq[Any] =
           if (last.isNullAt(IAfter)) Seq.fill(payloadIdx.length)(null)
           else { val a = last.getStruct(IAfter); payloadIdx.map(a.get) }
@@ -210,7 +211,7 @@ object CdcApply {
           }
         }
         val first = evs.head; val last = evs.last
-        val pk = last.getStruct(7)
+        val pk = last.getStruct(IPk)
         val outOp = if (mode == DELETE) OpDelete else last.getString(IOperation)
         val payload: Seq[Any] =
           if (mode == DELETE) Seq.fill(payloadIdx.length)(null)

@@ -10,7 +10,11 @@ import org.apache.spark.sql.graftshim.{toColumn, toExpression}
 import org.apache.spark.sql.types.{DataType, LongType, StructType}
 
 /** Last-writer-wins aggregate: keeps the `value` (a struct) of the row
-  * with the greatest `offset` (long).
+  * with the greatest `offset` (long). Equal offsets (duplicate
+  * (key, orderCol) rows) are broken by the serialized payload bytes —
+  * greatest wins — so the winner is stable under repartitioning and
+  * arrival order (the window-function formulation and the reference's
+  * reduceGroups are both arrival-order-dependent on ties).
   *
   * Why not the built-in `max_by`: MaxBy is a DeclarativeAggregate whose
   * buffer holds a struct, which HashAggregateExec cannot put in its
@@ -51,6 +55,15 @@ case class LastByOffset(
         val v = value.eval(input)
         buf.row = if (v == null) null else toUnsafe(v.asInstanceOf[InternalRow]).copy()
         buf.off = off
+      } else if (off == buf.off) {
+        // deterministic tie-break: greatest serialized payload wins
+        val v = value.eval(input)
+        if (v != null) {
+          val cand = toUnsafe(v.asInstanceOf[InternalRow])
+          if (LastByOffset.compareBytes(cand.getBytes, buf.row.getBytes) > 0) {
+            buf.row = cand.copy()
+          }
+        }
       }
     }
     buf
@@ -59,6 +72,8 @@ case class LastByOffset(
   override def merge(b1: LastByOffset.Buf, b2: LastByOffset.Buf): LastByOffset.Buf =
     if (b2.row == null) b1
     else if (b1.row == null || b2.off > b1.off) b2
+    else if (b2.off == b1.off &&
+      LastByOffset.compareBytes(b2.row.getBytes, b1.row.getBytes) > 0) b2
     else b1
 
   override def eval(buf: LastByOffset.Buf): Any = buf.row
@@ -94,6 +109,19 @@ case class LastByOffset(
 
 object LastByOffset {
   final class Buf(var off: Long, var row: UnsafeRow)
+
+  /** Unsigned lexicographic byte comparison — a deterministic total order
+    * on serialized rows, shared by the tie-breaking aggregates. */
+  private[functions] def compareBytes(x: Array[Byte], y: Array[Byte]): Int = {
+    val n = math.min(x.length, y.length)
+    var i = 0
+    while (i < n) {
+      val c = (x(i) & 0xFF) - (y(i) & 0xFF)
+      if (c != 0) return c
+      i += 1
+    }
+    x.length - y.length
+  }
 
   def lastByOffset(value: Column, offset: Column): Column =
     toColumn(LastByOffset(toExpression(value), toExpression(offset))

@@ -74,7 +74,13 @@ case class PatchFoldBySeq(
 
   override def eval(buf: PatchFoldBySeq.Buf): Any = {
     if (buf.rows.isEmpty) return null
-    val sorted = buf.rows.sortBy(_._1)
+    // secondary sort on the serialized row: rows sharing a seq (duplicate
+    // keys inside one un-reduced append() commit) fold in a deterministic
+    // order regardless of partitioning / buffer-merge order
+    val sorted = buf.rows.sortWith { case ((s1, r1), (s2, r2)) =>
+      if (s1 != s2) s1 < s2
+      else LastByOffset.compareBytes(r1.getBytes, r2.getBytes) < 0
+    }
     var acc: Array[Any] = null
     sorted.foreach { case (_, row) =>
       val op = row.getUTF8String(opIdx)

@@ -323,7 +323,9 @@ class LakeTable(val spark: SparkSession, val root: String) {
   /** Bulk append (initial seed): bucket + write + commit. */
   def append(df: DataFrame, commitId: String = "append", batchId: Long = 0L): Snapshot = {
     val cur = currentSnapshot.getOrElse(sys.error(s"no table at $root"))
-    if (cur.commits.get(commitId).exists(_ >= batchId)) return cur
+    // no-op replay: strip the PRIOR commit's lineage so callers (metrics)
+    // can tell a replay from a fresh commit
+    if (cur.commits.get(commitId).exists(_ >= batchId)) return cur.copy(lineage = None)
     val commitRel = s"data/commit-${cur.version + 1}"
     val commitDir = new Path(root, commitRel)
     df.withColumn("_bucket", bucketCol(cur.keyColumns, cur.nBuckets))
@@ -350,7 +352,8 @@ class LakeTable(val spark: SparkSession, val root: String) {
       strictValidate: Boolean = false): Snapshot = {
     val t0 = System.nanoTime()
     val cur = currentSnapshot.getOrElse(sys.error(s"no table at $root"))
-    if (cur.commits.get(checkpointId).exists(_ >= batchId)) return cur
+    // no-op replay: lineage stripped (it belongs to the PRIOR commit)
+    if (cur.commits.get(checkpointId).exists(_ >= batchId)) return cur.copy(lineage = None)
 
     val keyCols = cur.keyColumns
     val nb = cur.nBuckets
@@ -508,7 +511,8 @@ class LakeTable(val spark: SparkSession, val root: String) {
       strictValidate: Boolean = false, autoCompact: Int = 0): Snapshot = {
     val t0 = System.nanoTime()
     val cur = currentSnapshot.getOrElse(sys.error(s"no table at $root"))
-    if (cur.commits.get(checkpointId).exists(_ >= batchId)) return cur
+    // no-op replay: lineage stripped (it belongs to the PRIOR commit)
+    if (cur.commits.get(checkpointId).exists(_ >= batchId)) return cur.copy(lineage = None)
 
     val hasPatch = deltas.columns.contains("_patch_mask")
     val keyCols = cur.keyColumns
@@ -660,6 +664,9 @@ class LakeTable(val spark: SparkSession, val root: String) {
   def rollback(toVersion: Int): Snapshot = {
     val cur = currentSnapshot.getOrElse(sys.error(s"no table at $root"))
     require(toVersion < cur.version, s"cannot roll back to $toVersion from ${cur.version}")
+    require(listVersions.contains(toVersion),
+      s"version $toVersion is expired or unknown; retained versions: " +
+        listVersions.mkString("[", ",", "]"))
     val target = snapshot(toVersion)
     val next = target.copy(version = cur.version + 1,
       lineage = Some(lineageNode("rollback",

@@ -26,8 +26,11 @@ object ChangeLog {
     }
 
   /** Keep the row with the greatest `orderCol` per key (last-writer-wins).
-    * `orderCol` must be a total order within a key (e.g. Kafka offset /
-    * LSN) and unique per key for a deterministic result.
+    * `orderCol` should be a total order within a key (e.g. Kafka offset /
+    * LSN); duplicate (key, orderCol) rows are broken deterministically by
+    * the packed payload (greatest serialized payload wins on both the
+    * LastByOffset and max_by paths), so the winner is stable under
+    * repartitioning and arrival order.
     *
     * Integral order columns run through LastByOffset
     * (TypedImperativeAggregate → ObjectHashAggregate): the built-in

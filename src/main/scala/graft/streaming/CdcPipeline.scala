@@ -53,7 +53,11 @@ class CdcPipeline(
     * of the raw batch per trigger (TakeOrdered(1), O(batch) with O(1)
     * memory) — the price of evolution detection; leave autoEvolve off
     * (the default) when schemas are fixed. No-op on replay: the columns
-    * already exist. */
+    * already exist. Only the NEWEST message is inspected: if a
+    * schema-change message interleaves before later old-schema messages,
+    * the table evolves one trigger late — harmless for additive-nullable
+    * evolution (old-schema messages decode the new columns as null either
+    * way; no data is lost or mis-typed). */
   private def maybeEvolve(raw: DataFrame): Unit = {
     import org.apache.spark.sql.functions.{col, desc}
     val newest = raw.filter(col("value").isNotNull)

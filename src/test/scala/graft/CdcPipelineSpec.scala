@@ -130,10 +130,14 @@ class CdcPipelineSpec extends AnyFunSuite with SparkSessionTestWrapper {
     val finalState = stateSet(table)
     // crash/restart: replay batches 1..n (the last checkpointed batch plus
     // everything after) — all must be no-ops
+    val nMetrics = pipe.metrics.length
     batches.zipWithIndex.drop(1).foreach { case (g, i) => pipe.processBatch(g.toDF(), i.toLong) }
     assert(table.currentVersion.contains(vFinal))
     assert(stateSet(table) == finalState)
     assert(finalState == oracleSet(wl))
+    // replays record NO metrics (the returned snapshot carries no lineage;
+    // a duplicate entry would report stale counts + bogus throughput)
+    assert(pipe.metrics.length == nMetrics)
   }
 
   test("schema evolution mid-stream: new column flows through decode+merge") {

@@ -46,10 +46,33 @@ class CdcStageSpec extends AnyFunSuite with SparkSessionTestWrapper {
       CdcStage.execute(CdcStageConfig(
         name = s"b$b", inputView = s"stage_b$b", outputView = s"stage_o$b",
         schema = Some(schema), strict = true,
-        initialStateView = prevView, initialStateKey = prevView.map(_ => "conv_id")))(spark)
+        initialStateView = prevView,
+        initialStateKey = prevView.map(_ => "conv_id,turn_idx")))(spark)
       prevView = Some(s"stage_o$b")
     }
     assert(viewSet(prevView.get) == oracleSet(wl))
+  }
+
+  test("initialStateKey must match the declared key columns") {
+    val wl = EnvelopeGen.workload(seed = 45, nConvs = 5, maxTurns = 3, nTxns = 30)
+    EnvelopeGen.toDataFrame(spark, wl).createOrReplaceTempView("stage_isk_in")
+    CdcStage.execute(CdcStageConfig(
+      name = "s0", inputView = "stage_isk_in", outputView = "stage_isk_state",
+      schema = Some(schema), strict = true))(spark)
+    val e = intercept[IllegalArgumentException] {
+      CdcStage.execute(CdcStageConfig(
+        name = "s1", inputView = "stage_isk_in", outputView = "stage_isk_out",
+        schema = Some(schema), strict = true,
+        initialStateView = Some("stage_isk_state"),
+        initialStateKey = Some("wrong_col")))(spark)
+    }
+    assert(e.getMessage.contains("initialStateKey"))
+    // the matching composite key passes
+    CdcStage.execute(CdcStageConfig(
+      name = "s2", inputView = "stage_isk_in", outputView = "stage_isk_out",
+      schema = Some(schema), strict = true,
+      initialStateView = Some("stage_isk_state"),
+      initialStateKey = Some("conv_id,turn_idx")))(spark)
   }
 
   test("mongodb input routes to the mongo decoder") {

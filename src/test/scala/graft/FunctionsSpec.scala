@@ -36,6 +36,48 @@ class FunctionsSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(hs(0) != hs(2) && hs(1) != hs(2))
   }
 
+  test("LastByOffset breaks duplicate-offset ties deterministically under repartitioning") {
+    // 6 rows per key share ONE offset; whatever payload wins must win under
+    // every partitioning and input order
+    val payloads = Seq("zeta", "alpha", "omega", "beta", "kappa", "mu")
+    def winners(shuffleSeed: Int, parts: Int): Map[Long, String] = {
+      val rows = new scala.util.Random(shuffleSeed).shuffle(
+        for (k <- 0L until 5L; v <- payloads) yield (k, 10L, s"$v-$k"))
+      rows.toDF("k", "off", "v").repartition(parts)
+        .groupBy("k")
+        .agg(graft.functions.LastByOffset.lastByOffset(
+          struct(col("v")), col("off")).as("w"))
+        .select(col("k"), col("w.v"))
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    }
+    val ref = winners(1, 1)
+    assert(winners(2, 7) == ref)
+    assert(winners(3, 32) == ref)
+  }
+
+  test("PatchFoldBySeq folds seq ties in a deterministic order") {
+    // two FULL rows share seq=5 for the same key (un-reduced append of
+    // duplicate keys in one commit): the reconstruction winner must not
+    // depend on partitioning or arrival order
+    val payloads = Seq("aa", "zz", "mm", "qq")
+    def winners(shuffleSeed: Int, parts: Int): Map[Long, String] = {
+      val rows = new scala.util.Random(shuffleSeed).shuffle(
+        for (k <- 0L until 4L; v <- payloads)
+          yield (k, s"$v-$k", "r", null.asInstanceOf[Seq[String]], 5L))
+      rows.toDF("k", "text", "operation", "_patch_mask", "seq")
+        .repartition(parts)
+        .groupBy("k")
+        .agg(graft.functions.PatchFoldBySeq.patchFoldBySeq(
+          struct(col("text"), col("operation"), col("_patch_mask")),
+          col("seq")).as("w"))
+        .select(col("k"), col("w.text"))
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    }
+    val ref = winners(1, 1)
+    assert(winners(2, 5) == ref)
+    assert(winners(3, 32) == ref)
+  }
+
   test("LastByOffset plans as ObjectHashAggregate, not SortAggregate") {
     val df = spark.range(1000)
       .select(col("id"), pmod(col("id"), lit(10)).as("k"),

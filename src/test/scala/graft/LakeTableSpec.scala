@@ -300,6 +300,17 @@ class LakeTableSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(stateSet(t.read()) == oracleSet(wl))
   }
 
+  test("rollback to an expired version fails with a clear error") {
+    val wl = EnvelopeGen.workload(seed = 40, nConvs = 10, maxTurns = 3, nTxns = 100)
+    val n = wl.ops.length
+    val t = tmpTable()
+    t.merge(deltasOf(wl, i => i < n / 2), "cp", 0L)
+    t.merge(deltasOf(wl, i => i >= n / 2), "cp", 1L)
+    t.expireSnapshots(keepLast = 1)
+    val e = intercept[IllegalArgumentException] { t.rollback(1) }
+    assert(e.getMessage.contains("expired"))
+  }
+
   test("vacuum never deletes files a retained snapshot references") {
     val wl = EnvelopeGen.workload(seed = 37, nConvs = 15, maxTurns = 3, nTxns = 150)
     val n = wl.ops.length
