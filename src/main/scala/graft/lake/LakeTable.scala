@@ -15,10 +15,20 @@ import org.apache.spark.sql.types.{ArrayType, DataType, StringType, StructField,
   *
   * Layout:
   * {{{
-  *   <root>/metadata/v%05d.json     -- immutable snapshot metadata
+  *   <root>/metadata/v%05d.json          -- immutable snapshot metadata
+  *   <root>/metadata/manifest-<id>.json  -- immutable data-file lists
   *   <root>/metadata/version-hint.text
   *   <root>/data/commit-<v>/_bucket=<k>/part-*.parquet
   * }}}
+  *
+  * Snapshot metadata is MANIFEST-STYLE (Iceberg's shape): a snapshot
+  * holds a list of immutable manifest files, each listing data files.
+  * A commit writes one new manifest for its new files and REUSES every
+  * prior manifest untouched by the commit; only manifests that lose a
+  * file (copy-on-write / compaction) are rewritten. Metadata written per
+  * commit is therefore O(changed files), not O(total files) — at
+  * thousands of buckets × delta commits the full-file-list-per-snapshot
+  * alternative rewrites megabytes of JSON per commit.
   *
   * Semantics (the subset of the Iceberg spec the north rule needs):
   *  - a snapshot is an immutable list of data files; readers only see
@@ -69,14 +79,26 @@ class LakeTable(val spark: SparkSession, val root: String) {
     * in seq order instead of last-writer-wins. */
   case class DataFile(path: String, bucket: Int, seq: Int = 0,
       delta: Boolean = false, patch: Boolean = false)
+  /** Immutable list of data files, stored once under `metadata/` and
+    * reused by every later snapshot that doesn't remove one of its
+    * files. An empty `path` marks a legacy inline file list (pre-manifest
+    * snapshots), always rewritten on the next commit. */
+  case class Manifest(path: String, files: Seq[DataFile])
   case class Snapshot(
       version: Int,
       schema: StructType,
       keyColumns: Seq[String],
       nBuckets: Int,
-      files: Seq[DataFile],
+      manifests: Seq[Manifest],
       commits: Map[String, Long],
-      lineage: Option[JsonNode])
+      lineage: Option[JsonNode]) {
+    def files: Seq[DataFile] = manifests.flatMap(_.files)
+  }
+
+  /** Manifests are immutable once written — cache their parsed contents
+    * so reading N snapshots doesn't re-parse shared manifests. */
+  private val manifestCache =
+    scala.collection.concurrent.TrieMap.empty[String, Seq[DataFile]]
 
   // ------------------------------------------------------------ metadata
 
@@ -89,19 +111,31 @@ class LakeTable(val spark: SparkSession, val root: String) {
 
   def currentVersion: Option[Int] = listVersions.lastOption
 
+  private def parseFiles(arr: JsonNode): Seq[DataFile] =
+    arr.elements().asScala.map { f =>
+      DataFile(f.get("path").asText(), f.get("bucket").asInt(),
+        if (f.has("seq")) f.get("seq").asInt() else 0,
+        f.has("delta") && f.get("delta").asBoolean(),
+        f.has("patch") && f.get("patch").asBoolean())
+    }.toSeq
+
+  private def loadManifest(path: String): Manifest =
+    Manifest(path, manifestCache.getOrElseUpdate(path,
+      parseFiles(mapper.readTree(readFully(new Path(root, path))))))
+
   def snapshot(version: Int): Snapshot = {
     val node = mapper.readTree(readFully(versionFile(version)))
+    val manifests =
+      if (node.has("manifests"))
+        node.get("manifests").elements().asScala.map(p => loadManifest(p.asText())).toSeq
+      else // legacy inline file list: treated as a manifest that is always rewritten
+        Seq(Manifest("", parseFiles(node.get("files")))).filter(_.files.nonEmpty)
     Snapshot(
       version = node.get("version").asInt(),
       schema = DataType.fromJson(node.get("schemaJson").asText()).asInstanceOf[StructType],
       keyColumns = node.get("keyColumns").elements().asScala.map(_.asText()).toSeq,
       nBuckets = node.get("nBuckets").asInt(),
-      files = node.get("files").elements().asScala.map { f =>
-        DataFile(f.get("path").asText(), f.get("bucket").asInt(),
-          if (f.has("seq")) f.get("seq").asInt() else 0,
-          f.has("delta") && f.get("delta").asBoolean(),
-          f.has("patch") && f.get("patch").asBoolean())
-      }.toSeq,
+      manifests = manifests,
       commits = node.get("commits").fields().asScala
         .map(e => e.getKey -> e.getValue.asLong()).toMap,
       lineage = Option(node.get("lineage")))
@@ -114,18 +148,44 @@ class LakeTable(val spark: SparkSession, val root: String) {
     try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
   }
 
+  /** Persist a data-file list as an immutable manifest (None when empty). */
+  private def writeManifest(files: Seq[DataFile]): Option[Manifest] = {
+    if (files.isEmpty) return None
+    val rel = s"metadata/manifest-${java.util.UUID.randomUUID()}.json"
+    val arr = mapper.createArrayNode()
+    files.foreach { f =>
+      val o = arr.addObject(); o.put("path", f.path); o.put("bucket", f.bucket)
+      o.put("seq", f.seq); o.put("delta", f.delta); o.put("patch", f.patch)
+    }
+    val out = fs.create(new Path(root, rel), false)
+    try out.write(mapper.writeValueAsBytes(arr)) finally out.close()
+    manifestCache.put(rel, files)
+    Some(Manifest(rel, files))
+  }
+
+  /** Next snapshot's manifest list: manifests containing no removed file
+    * are REUSED verbatim; survivors of touched manifests are folded into
+    * one rewritten manifest; `added` files get their own new manifest.
+    * Metadata written = O(removed + added files). */
+  private def nextManifests(cur: Snapshot, removed: DataFile => Boolean,
+      added: Seq[DataFile]): Seq[Manifest] = {
+    val (touched, untouched) = cur.manifests.partition(
+      m => m.path.isEmpty || m.files.exists(removed))
+    val survivors = touched.flatMap(_.files).filterNot(removed)
+    untouched ++ writeManifest(survivors) ++ writeManifest(added)
+  }
+
   private def writeSnapshot(s: Snapshot): Unit = {
+    require(s.manifests.forall(_.path.nonEmpty),
+      "BUG: committing a snapshot with an unmaterialized legacy manifest")
     val lineage: JsonNode = s.lineage.orNull
     val node = mapper.createObjectNode()
     node.put("version", s.version)
     node.put("schemaJson", s.schema.json)
     val kc = node.putArray("keyColumns"); s.keyColumns.foreach(kc.add)
     node.put("nBuckets", s.nBuckets)
-    val fa = node.putArray("files")
-    s.files.foreach { f =>
-      val o = fa.addObject(); o.put("path", f.path); o.put("bucket", f.bucket)
-      o.put("seq", f.seq); o.put("delta", f.delta); o.put("patch", f.patch)
-    }
+    val ma = node.putArray("manifests")
+    s.manifests.foreach(m => ma.add(m.path))
     val cm = node.putObject("commits")
     s.commits.foreach { case (k, v) => cm.put(k, v) }
     if (lineage != null) node.set[ObjectNode]("lineage", lineage.deepCopy())
@@ -177,7 +237,7 @@ class LakeTable(val spark: SparkSession, val root: String) {
   def create(schema: StructType, keyColumns: Seq[String], nBuckets: Int = 32): Unit = {
     require(currentVersion.isEmpty, s"table already exists at $root")
     fs.mkdirs(metaDir)
-    writeSnapshot(Snapshot(0, schema, keyColumns, nBuckets, Nil, Map.empty, None))
+    writeSnapshot(Snapshot(0, schema, keyColumns, nBuckets, Nil: Seq[Manifest], Map.empty, None))
   }
 
   /** Additive schema evolution: new nullable columns appended; existing
@@ -190,6 +250,7 @@ class LakeTable(val spark: SparkSession, val root: String) {
     require(cur.schema.fieldNames.forall(newSchema.fieldNames.contains),
       "column drops are not supported")
     val next = cur.copy(version = cur.version + 1, schema = newSchema,
+      manifests = nextManifests(cur, _ => false, Nil),
       lineage = Some(lineageNode("evolveSchema",
         Map("addedColumns" -> added.map(_.name).mkString(",")))))
     writeSnapshot(next)
@@ -207,6 +268,23 @@ class LakeTable(val spark: SparkSession, val root: String) {
 
   private def bucketCol(keyColumns: Seq[String], nBuckets: Int) =
     pmod(hash(keyColumns.map(col): _*), lit(nBuckets))
+
+  /** Write parallelism is DECOUPLED from the table's bucket count: when
+    * the session has more shuffle partitions than the table has buckets,
+    * rows are additionally salted inside each bucket so a commit writes
+    * with full cluster parallelism (several files per bucket) instead of
+    * being capped at nBuckets tasks — the create-time bucket constant must
+    * not cap a 1000-executor writer. 1 when nBuckets already saturates. */
+  private def filesPerBucket(nBuckets: Int): Int = {
+    val target = spark.sessionState.conf.numShufflePartitions
+    math.max(1, target / math.max(1, nBuckets))
+  }
+
+  /** In-bucket salt: deterministic on the key (a key's rows stay in one
+    * file per commit), independent of the bucket hash. */
+  private def saltCol(keyColumns: Seq[String], fpb: Int) =
+    if (fpb <= 1) lit(0)
+    else pmod(hash(keyColumns.map(col) :+ lit("graft-salt"): _*), lit(fpb))
 
   /** Read a snapshot (current by default). Missing columns in old files
     * surface as null through the declared schema. Buckets carrying delta
@@ -328,11 +406,13 @@ class LakeTable(val spark: SparkSession, val root: String) {
     if (cur.commits.get(commitId).exists(_ >= batchId)) return cur.copy(lineage = None)
     val commitRel = s"data/commit-${cur.version + 1}"
     val commitDir = new Path(root, commitRel)
+    val fpb = filesPerBucket(cur.nBuckets)
     df.withColumn("_bucket", bucketCol(cur.keyColumns, cur.nBuckets))
+      .repartition(cur.nBuckets * fpb, col("_bucket"), saltCol(cur.keyColumns, fpb))
       .write.partitionBy("_bucket").parquet(commitDir.toString)
     val newFiles = listCommitFiles(commitDir, cur.version + 1, delta = false)
     val next = cur.copy(version = cur.version + 1,
-      files = cur.files ++ newFiles,
+      manifests = nextManifests(cur, _ => false, newFiles),
       commits = cur.commits + (commitId -> batchId),
       lineage = Some(lineageNode("append",
         Map("newFiles" -> newFiles.size.toString, "batchId" -> batchId.toString))))
@@ -379,6 +459,7 @@ class LakeTable(val spark: SparkSession, val root: String) {
     if (stats.isEmpty) { // empty batch: just record the commit
       withBucket.unpersist()
       val next = cur.copy(version = cur.version + 1,
+        manifests = nextManifests(cur, _ => false, Nil),
         commits = cur.commits + (checkpointId -> batchId),
         lineage = Some(lineageNode("merge", Map(
           "batchId" -> batchId.toString, "checkpointId" -> checkpointId,
@@ -440,12 +521,14 @@ class LakeTable(val spark: SparkSession, val root: String) {
 
     val commitRel = s"data/commit-${cur.version + 1}"
     val commitDir = new Path(root, commitRel)
-    // one output file per affected bucket: route rows to their bucket's
-    // task before the partitioned write (otherwise every task splits into
-    // every bucket → tasks×buckets small files)
+    // route rows to their bucket's writer task before the partitioned
+    // write (otherwise every task splits into every bucket →
+    // tasks×buckets small files); in-bucket salt lifts parallelism above
+    // the affected-bucket count when the cluster has idle slots
+    val fpb = filesPerBucket(affected.size)
     val tWrite0 = System.nanoTime()
     merged.withColumn("_bucket", bucketCol(keyCols, nb))
-      .repartition(affected.size, col("_bucket"))
+      .repartition(affected.size * fpb, col("_bucket"), saltCol(keyCols, fpb))
       .write.partitionBy("_bucket").parquet(commitDir.toString)
     val writeMs = (System.nanoTime() - tWrite0) / 1000000
     val tList0 = System.nanoTime()
@@ -479,7 +562,7 @@ class LakeTable(val spark: SparkSession, val root: String) {
     }
 
     val next = cur.copy(version = cur.version + 1,
-      files = keptFiles ++ newFiles,
+      manifests = nextManifests(cur, f => affected.contains(f.bucket), newFiles),
       commits = cur.commits + (checkpointId -> batchId),
       lineage = Some(lineage))
     writeSnapshot(next)
@@ -564,9 +647,10 @@ class LakeTable(val spark: SparkSession, val root: String) {
     val tWrite0 = System.nanoTime()
     val outCols = keyCols ++ payloadCols ++ Seq("operation") ++
       (if (hasPatch) Seq("_patch_mask") else Nil) ++ Seq("_bucket")
+    val fpb = filesPerBucket(nb)
     observed
       .select(outCols.map(col): _*)
-      .repartition(nb, col("_bucket"))
+      .repartition(nb * fpb, col("_bucket"), saltCol(keyCols, fpb))
       .write.partitionBy("_bucket").parquet(commitDir.toString)
     val writeMs = (System.nanoTime() - tWrite0) / 1000000
     val m = obs.get
@@ -592,10 +676,14 @@ class LakeTable(val spark: SparkSession, val root: String) {
     lineage.put("affectedBuckets", newFiles.map(_.bucket).distinct.size)
     lineage.put("newDeltaFiles", newFiles.size)
     lineage.put("durationMs", durMs)
+    val manifests = nextManifests(cur, _ => false, newFiles)
+    // O(changed-files) metadata evidence: every prior manifest is reused
+    lineage.put("reusedManifests", cur.manifests.count(_.path.nonEmpty))
+    lineage.put("newManifests", manifests.size - cur.manifests.count(_.path.nonEmpty))
     System.err.println(s"[lake-mor] batch=$batchId writeMs=$writeMs newFiles=${newFiles.size}")
 
     val next = cur.copy(version = cur.version + 1,
-      files = cur.files ++ newFiles,
+      manifests = manifests,
       commits = cur.commits + (checkpointId -> batchId),
       lineage = Some(lineage))
     writeSnapshot(next)
@@ -631,18 +719,55 @@ class LakeTable(val spark: SparkSession, val root: String) {
     val rows = reconstructRows(cur, targetFiles)
     val commitRel = s"data/compact-${cur.version + 1}"
     val commitDir = new Path(root, commitRel)
+    val fpb = filesPerBucket(target.size)
     rows.withColumn("_bucket", bucketCol(cur.keyColumns, cur.nBuckets))
-      .repartition(target.size, col("_bucket"))
+      .repartition(target.size * fpb, col("_bucket"), saltCol(cur.keyColumns, fpb))
       .write.partitionBy("_bucket").parquet(commitDir.toString)
     val newFiles = listCommitFiles(commitDir, cur.version + 1, delta = false)
     val durMs = (System.nanoTime() - t0) / 1000000
     System.err.println(s"[lake-compact] buckets=${target.size} removed=${targetFiles.size} durMs=$durMs")
 
     val next = cur.copy(version = cur.version + 1,
-      files = keptFiles ++ newFiles,
+      manifests = nextManifests(cur, f => target.contains(f.bucket), newFiles),
       lineage = Some(lineageNode("compact", Map(
         "buckets" -> target.size.toString,
         "removedFiles" -> targetFiles.size.toString,
+        "newFiles" -> newFiles.size.toString,
+        "durationMs" -> durMs.toString))))
+    writeSnapshot(next)
+    next
+  }
+
+  /** Re-bucket the table under a new bucket count as ONE maintenance
+    * commit: the current state is reconstructed (outstanding deltas fold
+    * in) and rewritten hash-bucketed by `newBuckets`. The bucket count
+    * chosen at create time must not be a forever constant — at 10^10 rows
+    * a table created with 32 buckets makes every bucket huge and caps
+    * compaction granularity; growing the table means growing its buckets.
+    * Logical state, schema and checkpoint entries are unchanged; readers
+    * atomically flip to the new layout; old files become vacuum-able once
+    * prior snapshots expire. */
+  def rebucket(newBuckets: Int): Snapshot = {
+    val t0 = System.nanoTime()
+    val cur = currentSnapshot.getOrElse(sys.error(s"no table at $root"))
+    require(newBuckets >= 1, s"invalid bucket count $newBuckets")
+    if (newBuckets == cur.nBuckets) return cur.copy(lineage = None)
+    val rows = read() // reconstructed current state (deltas folded in)
+    val commitRel = s"data/rebucket-${cur.version + 1}"
+    val commitDir = new Path(root, commitRel)
+    val fpb = filesPerBucket(newBuckets)
+    rows.withColumn("_bucket", bucketCol(cur.keyColumns, newBuckets))
+      .repartition(newBuckets * fpb, col("_bucket"), saltCol(cur.keyColumns, fpb))
+      .write.partitionBy("_bucket").parquet(commitDir.toString)
+    val newFiles = listCommitFiles(commitDir, cur.version + 1, delta = false)
+    val durMs = (System.nanoTime() - t0) / 1000000
+    System.err.println(s"[lake-rebucket] ${cur.nBuckets} -> $newBuckets files=${newFiles.size} durMs=$durMs")
+    val next = cur.copy(version = cur.version + 1,
+      nBuckets = newBuckets,
+      manifests = writeManifest(newFiles).toSeq,
+      lineage = Some(lineageNode("rebucket", Map(
+        "fromBuckets" -> cur.nBuckets.toString,
+        "toBuckets" -> newBuckets.toString,
         "newFiles" -> newFiles.size.toString,
         "durationMs" -> durMs.toString))))
     writeSnapshot(next)
@@ -669,6 +794,7 @@ class LakeTable(val spark: SparkSession, val root: String) {
         listVersions.mkString("[", ",", "]"))
     val target = snapshot(toVersion)
     val next = target.copy(version = cur.version + 1,
+      manifests = nextManifests(target, _ => false, Nil),
       lineage = Some(lineageNode("rollback",
         Map("toVersion" -> toVersion.toString, "fromVersion" -> cur.version.toString))))
     writeSnapshot(next)
@@ -688,29 +814,43 @@ class LakeTable(val spark: SparkSession, val root: String) {
   }
 
   /** Delete data files not referenced by any RETAINED snapshot — orphans
-    * from failed commits and files only expired snapshots referenced.
-    * Single-writer maintenance: must not run concurrently with an
-    * in-flight commit (its staged files are not yet referenced). Returns
-    * the number of files deleted. */
+    * from failed commits and files only expired snapshots referenced —
+    * plus manifest files no retained snapshot lists. Single-writer
+    * maintenance: must not run concurrently with an in-flight commit
+    * (its staged files are not yet referenced). Returns the number of
+    * files deleted (data + manifests). */
   def vacuum(): Int = {
-    val referenced = listVersions.flatMap(v => snapshot(v).files.map(_.path)).toSet
+    val retained = listVersions.map(snapshot)
+    val referenced = retained.flatMap(_.files.map(_.path)).toSet
     val dataDir = new Path(root, "data")
-    if (!fs.exists(dataDir)) return 0
     var deleted = 0
-    val it = fs.listFiles(dataDir, true)
-    val toDelete = Seq.newBuilder[Path]
-    while (it.hasNext) {
-      val f = it.next()
-      val p = f.getPath.toString
-      val rel = p.substring(p.indexOf(root) + root.length + 1)
-      if (!referenced.contains(rel) && !f.getPath.getName.startsWith("_"))
-        toDelete += f.getPath
+    if (fs.exists(dataDir)) {
+      val it = fs.listFiles(dataDir, true)
+      val toDelete = Seq.newBuilder[Path]
+      while (it.hasNext) {
+        val f = it.next()
+        val p = f.getPath.toString
+        val rel = p.substring(p.indexOf(root) + root.length + 1)
+        if (!referenced.contains(rel) && !f.getPath.getName.startsWith("_"))
+          toDelete += f.getPath
+      }
+      toDelete.result().foreach { p => if (fs.delete(p, false)) deleted += 1 }
+      // prune now-empty commit directories
+      fs.listStatus(dataDir).foreach { d =>
+        if (d.isDirectory && !fs.listFiles(d.getPath, true).hasNext)
+          fs.delete(d.getPath, true)
+      }
     }
-    toDelete.result().foreach { p => if (fs.delete(p, false)) deleted += 1 }
-    // prune now-empty commit directories
-    fs.listStatus(dataDir).foreach { d =>
-      if (d.isDirectory && !fs.listFiles(d.getPath, true).hasNext)
-        fs.delete(d.getPath, true)
+    // manifest GC: drop manifests only expired snapshots (or failed
+    // commits) reference
+    val referencedManifests =
+      retained.flatMap(_.manifests.map(_.path)).filter(_.nonEmpty).toSet
+    fs.listStatus(metaDir).foreach { f =>
+      val name = f.getPath.getName
+      val rel = s"metadata/$name"
+      if (name.startsWith("manifest-") && !referencedManifests.contains(rel)) {
+        if (fs.delete(f.getPath, false)) { deleted += 1; manifestCache.remove(rel) }
+      }
     }
     deleted
   }

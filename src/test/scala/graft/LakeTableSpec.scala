@@ -253,6 +253,69 @@ class LakeTableSpec extends AnyFunSuite with SparkSessionTestWrapper {
     scans.foreach(l => assert(!l.contains("role"), s"scan not pruned:\n$l"))
   }
 
+  test("rebucket: state round-trips under a new bucket count; later merges use it") {
+    val wl = EnvelopeGen.workload(seed = 50, nConvs = 30, maxTurns = 4, nTxns = 300)
+    val n = wl.ops.length
+    val dir = Files.createTempDirectory("lake-rb").toString
+    val t = new LakeTable(spark, dir)
+    t.create(schema.structType, schema.keyNames, nBuckets = 2)
+    t.merge(deltasOf(wl, i => i < n / 3), "cp", 0L)
+    t.mergeDeltas(deltasOf(wl, i => i >= n / 3 && i < 2 * n / 3), "cp", 1L)
+
+    val snap = t.rebucket(16)
+    assert(snap.nBuckets == 16)
+    assert(snap.files.forall(f => !f.delta), "rebucket folds outstanding deltas")
+    assert(snap.files.map(_.bucket).forall(b => b >= 0 && b < 16))
+    assert(snap.files.map(_.bucket).distinct.size > 2, "rows spread over the new buckets")
+    // checkpoint entries survive: replaying batch 1 is still a no-op
+    val v = t.currentVersion
+    t.mergeDeltas(deltasOf(wl, i => i >= n / 3 && i < 2 * n / 3), "cp", 1L)
+    assert(t.currentVersion == v)
+    // the next batch merges through the NEW layout
+    t.merge(deltasOf(wl, i => i >= 2 * n / 3), "cp", 2L)
+    assert(stateSet(t.read()) == oracleSet(wl))
+    // rebucket to the current count is a no-op
+    assert(t.rebucket(16).version == t.currentVersion.get)
+  }
+
+  test("commit metadata is O(changed files): delta commits reuse every prior manifest") {
+    val wl = EnvelopeGen.workload(seed = 51, nConvs = 25, maxTurns = 4, nTxns = 300)
+    val n = wl.ops.length
+    val t = tmpTable()
+    t.mergeDeltas(deltasOf(wl, i => i < n / 3), "cp", 0L)
+    val m1 = t.currentSnapshot.get.manifests.map(_.path)
+    val snap2 = t.mergeDeltas(deltasOf(wl, i => i >= n / 3 && i < 2 * n / 3), "cp", 1L)
+    // prior manifest reused verbatim; exactly one new manifest written
+    assert(snap2.manifests.map(_.path).take(m1.size) == m1)
+    assert(snap2.manifests.size == m1.size + 1)
+    assert(snap2.lineage.get.get("reusedManifests").asInt() == m1.size)
+    assert(snap2.lineage.get.get("newManifests").asInt() == 1)
+    // the snapshot json itself carries manifest POINTERS, not file lists
+    val vjson = new String(java.nio.file.Files.readAllBytes(
+      new java.io.File(t.root, f"metadata/v${snap2.version}%05d.json").toPath), "UTF-8")
+    assert(vjson.contains("manifest-") && !vjson.contains("\"files\""))
+    // compaction folds the touched manifests; state intact throughout
+    t.mergeDeltas(deltasOf(wl, i => i >= 2 * n / 3), "cp", 2L)
+    t.compact()
+    assert(stateSet(t.read()) == oracleSet(wl))
+  }
+
+  test("write parallelism is not capped by the bucket count") {
+    val wl = EnvelopeGen.workload(seed = 52, nConvs = 40, maxTurns = 4, nTxns = 300)
+    val dir = Files.createTempDirectory("lake-fpb").toString
+    val t = new LakeTable(spark, dir)
+    t.create(schema.structType, schema.keyNames, nBuckets = 1)
+    // 4 shuffle partitions vs 1 bucket: the commit writes through 4 salted
+    // writer tasks → several files in the one bucket, not a single-task write
+    val snap = t.mergeDeltas(deltasOf(wl), "cp", 0L)
+    assert(snap.files.size > 1, s"expected >1 file for 1 bucket, got ${snap.files.size}")
+    assert(snap.files.forall(_.bucket == 0))
+    assert(stateSet(t.read()) == oracleSet(wl))
+    // reconstruction + compaction still correct over multi-file buckets
+    t.compact()
+    assert(stateSet(t.read()) == oracleSet(wl))
+  }
+
   // ------------------------------------------------------ maintenance
 
   test("expireSnapshots + vacuum delete unreferenced files; current state intact") {
