@@ -355,6 +355,23 @@ object SparkEntry {
       VectorOps.cosineDupPairsExact(t(s, dir, "embeddings"),
           "vec_id", "embedding", threshold = 0.45, nBlocks = 8)
         .select("id_a", "id_b")),
+    "emb_dup_lsh" -> ((s, dir) => {
+      // the DEFAULT (non-quadratic) embedding near-dup story: plant one
+      // deterministic near-duplicate per vector (one component zeroed →
+      // cos ≈ 0.99), then detect pairs via the portable integer RHP
+      // signature with pigeonhole hamming blocking (recall 1 for the
+      // ham ≤ 3 predicate by construction) + exact cosine re-verify.
+      // The oracle recomputes the identical integer signatures and
+      // brute-forces all pairs.
+      val emb = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val planted = emb.select(
+        (col("vec_id") + 1000000L).as("vec_id"),
+        transform(col("embedding"), (x, i) =>
+          when(i.cast("long") === pmod(col("vec_id"), size(col("embedding")).cast("long")),
+            lit(0f)).otherwise(x)).as("embedding"))
+      VectorOps.rhpNearDupPairs(emb.unionByName(planted), "vec_id", "embedding",
+        bits = 32, maxHamming = 3, threshold = 0.95)
+    }),
     "ann_topk" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       VectorOps.cosineTopK(emb, "vec_id", "embedding",
@@ -601,6 +618,9 @@ object SparkEntry {
         |  CAST(64 + (doc_id * 53) % 960 AS INT) AS height,
         |  CAST(16 + LEAST(length(text), 2560) AS INT) AS n_bytes
         |FROM documents""".stripMargin,
+    "emb_dup_lsh" ->
+      VectorOps.rhpNearDupPlantedOracleSql("embeddings", "vec_id", "embedding",
+        bits = 32, maxHamming = 3, threshold = 0.95),
     "ann_topk" ->
       """SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank FROM (
         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,

@@ -134,7 +134,7 @@ object DedupOps {
   /** Blocked hamming self-join on a simhash-like column: pairs (id_a <
     * id_b) with bit_count(xor) ≤ maxHamming. Blocking is pigeonhole-exact:
     * recall 1 by construction, never an O(n²) cross join. */
-  private def hammingJoin(withH: DataFrame, idCol: String, hCol: String,
+  private[operators] def hammingJoin(withH: DataFrame, idCol: String, hCol: String,
       width: Int, maxHamming: Int): DataFrame = {
     val chunks = pigeonholeChunks(width, maxHamming)
     val chunked = withH.select(col(idCol).as("id"), col(hCol).as("h"),

@@ -85,6 +85,68 @@ object VectorOps {
       .select("query_id", "neighbor_id", "rank")
   }
 
+  /** LSH-blocked embedding near-dup pairs with CROSS-ENGINE-EXACT
+    * semantics: pairs whose portable integer RHP signatures
+    * ([[graft.functions.PortableRhpSignature]]) differ by ≤ `maxHamming`
+    * of `bits` sign bits AND whose exact cosine ≥ `threshold`.
+    *
+    * The signature predicate is the scale lever: candidates come from a
+    * pigeonhole-blocked equi self-join on `maxHamming + 1` signature
+    * chunks (recall 1 for the predicate by construction — any qualifying
+    * pair agrees on a whole chunk), so the default embedding-dedup story
+    * has NO quadratic pass. maxHamming/bits fixes the estimated-angle
+    * ceiling (3 of 32 ⇒ est. cos ≥ cos(3π/32) ≈ 0.956): this operator is
+    * for HIGH-similarity near-dup detection; thresholds down in the bulk
+    * of the similarity distribution need [[cosineDupPairsExact]]. All
+    * signature arithmetic is integer (quantized vector × md5-derived
+    * integer hyperplanes), so a SQL oracle reproduces every bit. */
+  def rhpNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
+      bits: Int = 32, maxHamming: Int = 3, threshold: Double = 0.95,
+      seed: Int = 42, scale: Int = 1024): DataFrame = {
+    val withH = df.select(col(idCol).as("id"), col(vecCol).as("v"),
+      graft.functions.PortableRhpSignature.portableRhpSignature(
+        col(vecCol), bits, seed, scale).as("h"))
+    val pairs = DedupOps.hammingJoin(
+      withH.select("id", "h"), "id", "h", bits, maxHamming)
+    val va = withH.select(col("id").as("id_a"), col("v").as("_va"))
+    val vb = withH.select(col("id").as("id_b"), col("v").as("_vb"))
+    pairs.join(va, "id_a").join(vb, "id_b")
+      .filter(cosine(col("_va"), col("_vb")) >= threshold)
+      .select("id_a", "id_b", "hamming")
+  }
+
+  /** DuckDB oracle for [[rhpNearDupPairs]] over `table` UNION a planted
+    * near-duplicate per row (component `id % dims` zeroed, id + 10^6) —
+    * identical signatures via the same md5-derived integer hyperplanes,
+    * brute-force pair enumeration. */
+  def rhpNearDupPlantedOracleSql(table: String, idCol: String, vecCol: String,
+      bits: Int = 32, maxHamming: Int = 3, threshold: Double = 0.95,
+      seed: Int = 42, scale: Int = 1024): String =
+    s"""WITH base AS (SELECT $idCol AS id, $vecCol AS v FROM $table),
+       |planted AS (SELECT b.id + 1000000 AS id,
+       |  list_transform(range(1, len(b.v)+1),
+       |    i -> CASE WHEN i = CAST(b.id % len(b.v) AS BIGINT) + 1
+       |              THEN CAST(0 AS FLOAT) ELSE b.v[i] END) AS v
+       |  FROM base b),
+       |allv AS (SELECT * FROM base UNION ALL SELECT * FROM planted),
+       |q AS (SELECT id, j, CAST(floor(v[j] * $scale.0) AS BIGINT) AS qv
+       |      FROM (SELECT id, v, unnest(range(1, len(v)+1)) AS j FROM allv)),
+       |g AS (SELECT b, j,
+       |        CAST(('0x' || substr(md5('rhp|$seed|' || b || '|' || j),1,8)) AS BIGINT)
+       |          % 65536 - 32768 AS g
+       |      FROM (SELECT unnest(range(0, $bits)) AS b),
+       |           (SELECT unnest(range(0, (SELECT max(len(v)) FROM allv))) AS j)),
+       |dot AS (SELECT q.id, g.b, SUM(g.g * q.qv) AS d
+       |        FROM q JOIN g ON g.j = q.j - 1 GROUP BY q.id, g.b),
+       |sig AS (SELECT id, SUM(CASE WHEN d >= 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS h
+       |        FROM dot GROUP BY id)
+       |SELECT s1.id AS id_a, s2.id AS id_b,
+       |       CAST(bit_count(xor(s1.h, s2.h)) AS INT) AS hamming
+       |FROM sig s1 JOIN sig s2 ON s1.id < s2.id
+       |JOIN allv v1 ON v1.id = s1.id JOIN allv v2 ON v2.id = s2.id
+       |WHERE bit_count(xor(s1.h, s2.h)) <= $maxHamming
+       |  AND list_cosine_similarity(v1.v, v2.v) >= $threshold""".stripMargin
+
   /** EXACT all-pairs cosine ≥ `threshold` via a tiled block self-join.
     *
     * Ids hash into `nBlocks` blocks; each block pair (i ≤ j) is one

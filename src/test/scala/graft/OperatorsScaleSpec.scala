@@ -93,6 +93,35 @@ class OperatorsScaleSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(got == brute)
   }
 
+  test("rhpNearDupPairs blocking is complete and never a cross join") {
+    val out = VectorOps.rhpNearDupPairs(embs, "vec_id", "embedding",
+      bits = 32, maxHamming = 3, threshold = -1.0) // no cosine cut: test blocking alone
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"plan was:\n$plan")
+    // brute force over the same portable signatures
+    val withH = embs.select(col("vec_id").as("id"),
+      graft.functions.PortableRhpSignature.portableRhpSignature(
+        col("embedding"), 32, 42, 1024).as("h")).cache()
+    val brute = DedupOps.hammingPairsBruteForce(withH, maxHamming = 3)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val blocked = out.select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(blocked == brute,
+      s"missed=${(brute -- blocked).take(5)} extra=${(blocked -- brute).take(5)}")
+    // planted near-dups (one zeroed component) land inside the predicate
+    val base = embs.select(col("vec_id"), col("embedding"))
+    val planted = embs.select((col("vec_id") + 1000000L).as("vec_id"),
+      transform(col("embedding"), (x, i) =>
+        when(i.cast("long") === pmod(col("vec_id"), size(col("embedding")).cast("long")),
+          lit(0f)).otherwise(x)).as("embedding"))
+    val found = VectorOps.rhpNearDupPairs(base.unionByName(planted),
+        "vec_id", "embedding", bits = 32, maxHamming = 3, threshold = 0.95)
+      .filter(col("id_b") === col("id_a") + 1000000L).count()
+    assert(found > embs.count() / 2, s"only $found planted pairs detected")
+    withH.unpersist()
+  }
+
   test("jaccardBandedPairs equals brute force restricted to band-sharing pairs") {
     val rpb = 4; val nh = 16
     val got = DedupOps.jaccardBandedPairs(docs, "doc_id", "text",
