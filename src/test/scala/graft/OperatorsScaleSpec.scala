@@ -61,6 +61,29 @@ class OperatorsScaleSpec extends AnyFunSuite with SparkSessionTestWrapper {
     withH.unpersist()
   }
 
+  test("multi-probe ANN: recall@1 >= 0.95 for genuine near-duplicates (12 bits, 2 tables)") {
+    // the regime LSH is for: every vector has a planted twin at cos ≈ 0.99;
+    // multi-probe retrieves it from ~1% of the pairs (vs 64% for the
+    // 16-table/4-bit config on this corpus — TuneAnn measurements in BENCH.md)
+    val base = embs.select(col("vec_id"), col("embedding"))
+    val planted = base.select((col("vec_id") + 1000000L).as("vec_id"),
+      transform(col("embedding"), (x, i) =>
+        when(i.cast("long") === pmod(col("vec_id"), size(col("embedding")).cast("long")),
+          lit(0f)).otherwise(x)).as("embedding"))
+    val corpus = base.unionByName(planted)
+    val truth = VectorOps.cosineTopK(corpus, "vec_id", "embedding",
+        corpus, "vec_id", "embedding", 1)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = VectorOps.annLshTopK(corpus, "vec_id", "embedding",
+        k = 1, bits = 12, tables = 2, probeHamming = 1)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (truth intersect approx).size.toDouble / truth.size
+    info(f"multi-probe recall@1 = $recall%.3f (bits=12, tables=2, probeHamming=1)")
+    assert(recall >= 0.95, f"recall $recall%.3f < 0.95")
+  }
+
   test("annLshTopK recall >= 0.9 vs brute-force cosine top-k") {
     val k = 3
     val truth = VectorOps.cosineTopK(embs, "vec_id", "embedding",
