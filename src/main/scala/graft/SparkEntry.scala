@@ -409,6 +409,42 @@ object SparkEntry {
           col("m.n_bytes").as("n_bytes"))
     }),
 
+    "mm_image_meta" -> ((s, dir) => {
+      // REAL file formats end to end: synthesize actual PNG/JPEG bytes
+      // (JDK codecs) and all three WebP container variants — plus
+      // deterministic garbage every 7th row — then parse format+dims back
+      // with ImageMeta's pure-byte header decode inside whole-stage
+      // codegen. The oracle predicts every value from the id formulas;
+      // garbage rows must classify as null, not error.
+      import graft.functions.{ImageMeta, SyntheticImage}
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          SyntheticImage.syntheticImage(col("doc_id").cast("long")).as("content"))
+        .select(col("doc_id"), ImageMeta.imageMeta(col("content")).as("m"))
+        .select(col("doc_id"), col("m.format").as("format"),
+          col("m.width").as("width"), col("m.height").as("height"))
+    }),
+
+    "mm_pixel_stats" -> ((s, dir) => {
+      // REAL pixel decode: javax.imageio rasterizes the PNG/JPEG content
+      // and the kernel emits per-channel means; WebP (no JDK rasterizer)
+      // falls back to header-only dims; garbage classifies as null.
+      // PNG is lossless so its solid-fill means are oracle-exact; JPEG
+      // decode is real but lossy (means predictable only to ±~1/255), so
+      // the gate projects JPEG means as null and MultimodalSpec asserts
+      // the tolerance instead.
+      import graft.functions.SyntheticImage
+      import graft.operators.MultimodalOps
+      val assets = t(s, dir, "documents")
+        .select(col("doc_id"),
+          SyntheticImage.syntheticImage(col("doc_id").cast("long")).as("content"))
+      MultimodalOps.decodeImage(assets, "content")
+        .select(col("doc_id"), col("format"), col("width"), col("height"),
+          when(col("format") === "png", col("mean_r")).as("mean_r"),
+          when(col("format") === "png", col("mean_g")).as("mean_g"),
+          when(col("format") === "png", col("mean_b")).as("mean_b"))
+    }),
+
     // rows-only: approximate by construction (recall ≥ 0.95 measured in
     // OperatorsScaleSpec against the brute-force oracle).
     // Multi-probe in the regime LSH is FOR — retrieving each vector's
@@ -632,6 +668,34 @@ object SparkEntry {
         |  CAST(64 + (doc_id * 37) % 960 AS INT) AS width,
         |  CAST(64 + (doc_id * 53) % 960 AS INT) AS height,
         |  CAST(16 + LEAST(length(text), 2560) AS INT) AS n_bytes
+        |FROM documents""".stripMargin,
+    "mm_image_meta" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 7 = 0 THEN NULL
+        |       WHEN doc_id % 5 = 0 THEN 'png'
+        |       WHEN doc_id % 5 = 1 THEN 'jpeg'
+        |       ELSE 'webp' END AS format,
+        |  CASE WHEN doc_id % 7 = 0 THEN NULL
+        |       ELSE CAST(8 + (doc_id * 37) % 120 AS INT) END AS width,
+        |  CASE WHEN doc_id % 7 = 0 THEN NULL
+        |       ELSE CAST(8 + (doc_id * 53) % 120 AS INT) END AS height
+        |FROM documents""".stripMargin,
+    "mm_pixel_stats" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 7 = 0 THEN NULL
+        |       WHEN doc_id % 5 = 0 THEN 'png'
+        |       WHEN doc_id % 5 = 1 THEN 'jpeg'
+        |       ELSE 'webp' END AS format,
+        |  CASE WHEN doc_id % 7 = 0 THEN NULL
+        |       ELSE CAST(8 + (doc_id * 37) % 120 AS INT) END AS width,
+        |  CASE WHEN doc_id % 7 = 0 THEN NULL
+        |       ELSE CAST(8 + (doc_id * 53) % 120 AS INT) END AS height,
+        |  CASE WHEN doc_id % 7 <> 0 AND doc_id % 5 = 0
+        |       THEN CAST(((doc_id * 2654435761) // 65536) % 256 AS DOUBLE) END AS mean_r,
+        |  CASE WHEN doc_id % 7 <> 0 AND doc_id % 5 = 0
+        |       THEN CAST(((doc_id * 2654435761) // 256) % 256 AS DOUBLE) END AS mean_g,
+        |  CASE WHEN doc_id % 7 <> 0 AND doc_id % 5 = 0
+        |       THEN CAST((doc_id * 2654435761) % 256 AS DOUBLE) END AS mean_b
         |FROM documents""".stripMargin,
     "emb_dup_lsh" ->
       VectorOps.rhpNearDupPlantedOracleSql("embeddings", "vec_id", "embedding",

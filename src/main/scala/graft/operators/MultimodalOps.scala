@@ -10,12 +10,17 @@ import org.apache.spark.sql.types._
   * partition-batched typed transforms (the Scala analog of `mapInPandas`
   * batching: one iterator per partition, rows streamed through).
   *
-  * The actual codecs are STUBBED (no image/audio libraries in this
-  * environment): `decodeMeta` parses our deterministic synthetic header
-  * and `extractFeatures` hashes content chunks into a fixed-width
-  * embedding. The Spark-side contract — schema, partitioning, batch
-  * iteration, null handling — is real and tested; swapping in a real
-  * codec only changes the per-row kernel.
+  * The IMAGE path is real: `graft.functions.ImageMeta` parses actual
+  * PNG/JPEG/WebP headers with pure byte logic inside whole-stage codegen,
+  * and `decodeImage` / `resizeImage` run the JDK's own codecs
+  * (`javax.imageio`, PNG/JPEG/GIF/BMP) as partition-batched kernels,
+  * falling back to header-only metadata for container formats the JDK
+  * can't rasterize (WebP) and classifying garbage as null. Only the
+  * AUDIO/VIDEO kernels remain deterministic stand-ins (`decodeMeta` over
+  * the GRFT synthetic header, `extractFeatures` content hashing,
+  * `sampleFrames` chunking) — the JDK ships no audio/video codecs — with
+  * the Spark-side contract (schema, partitioning, batch iteration, null
+  * handling) real and gate-tested.
   */
 object MultimodalOps {
 
@@ -60,6 +65,99 @@ object MultimodalOps {
       beInt(9).as("width"),
       beInt(13).as("height"),
       length(content).cast("int").as("n_bytes"))
+  }
+
+  /** REAL partition-batched image decode: `javax.imageio` rasterizes
+    * PNG/JPEG/GIF/BMP content and the kernel emits per-channel mean
+    * intensities plus the decoded dimensions; formats the JDK can't
+    * rasterize but `ImageMeta` recognizes (WebP) get header-only
+    * metadata with null pixel stats; unrecognized bytes get all nulls.
+    * One codec call per row inside a partition iterator — the Scala
+    * analog of a `mapInPandas` decode stage, and the pattern any
+    * heavier codec (audio/video) would slot into.
+    *
+    * Scale note: the kernel is embarrassingly parallel and allocation-
+    * bounded per row (one BufferedImage of the decoded size); at 100 TB
+    * the knob is input split size, not this operator's shape. */
+  def decodeImage(df: DataFrame, contentCol: String): DataFrame = {
+    val outSchema = StructType(df.schema.fields ++ Seq(
+      StructField("format", StringType),
+      StructField("width", IntegerType),
+      StructField("height", IntegerType),
+      StructField("mean_r", DoubleType),
+      StructField("mean_g", DoubleType),
+      StructField("mean_b", DoubleType)))
+    implicit val enc = Encoders.row(outSchema)
+    val idx = df.schema.fieldIndex(contentCol)
+    df.mapPartitions { it =>
+      it.map { row =>
+        val bytes = row.getAs[Array[Byte]](idx)
+        Row.fromSeq(row.toSeq ++ decodeOne(bytes))
+      }
+    }
+  }
+
+  /** format, width, height, mean_r, mean_g, mean_b for one payload. */
+  private def decodeOne(bytes: Array[Byte]): Seq[Any] = {
+    if (bytes == null) return Seq(null, null, null, null, null, null)
+    val meta = graft.functions.ImageMeta.parse(bytes)
+    val img = readImage(bytes)
+    if (img != null) {
+      val fmt = if (meta != null) meta.getUTF8String(0).toString else "unknown"
+      val (w, h) = (img.getWidth, img.getHeight)
+      val px = img.getRGB(0, 0, w, h, null, 0, w)
+      var r = 0L; var g = 0L; var b = 0L; var i = 0
+      while (i < px.length) {
+        val p = px(i)
+        r += (p >> 16) & 0xFF; g += (p >> 8) & 0xFF; b += p & 0xFF
+        i += 1
+      }
+      val n = px.length.toDouble
+      Seq(fmt, w, h, r / n, g / n, b / n)
+    } else if (meta != null) {
+      // recognized container, no JDK rasterizer (WebP): header-only
+      Seq(meta.getUTF8String(0).toString, meta.getInt(1), meta.getInt(2),
+        null, null, null)
+    } else Seq(null, null, null, null, null, null)
+  }
+
+  private def readImage(bytes: Array[Byte]): java.awt.image.BufferedImage =
+    try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    catch { case _: Exception => null } // malformed content classifies, never throws
+
+  /** REAL resize for JDK-decodable content: decode → nearest-neighbor
+    * rescale → re-encode as PNG (lossless, so downstream stats stay
+    * oracle-predictable). Undecodable content maps to null — resize is a
+    * filter+transform, not a validator. */
+  def resizeImage(df: DataFrame, contentCol: String, w: Int, h: Int,
+      outCol: String = "resized"): DataFrame = {
+    val outSchema = StructType(df.schema.fields :+ StructField(outCol, BinaryType))
+    implicit val enc = Encoders.row(outSchema)
+    val idx = df.schema.fieldIndex(contentCol)
+    df.mapPartitions { it =>
+      it.map { row =>
+        val bytes = row.getAs[Array[Byte]](idx)
+        val img = if (bytes == null) null else readImage(bytes)
+        val out: Any = if (img == null) null else {
+          val scaled = new java.awt.image.BufferedImage(w, h,
+            java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var y = 0
+          while (y < h) {
+            val sy = (y.toLong * img.getHeight / h).toInt
+            var x = 0
+            while (x < w) {
+              scaled.setRGB(x, y, img.getRGB((x.toLong * img.getWidth / w).toInt, sy))
+              x += 1
+            }
+            y += 1
+          }
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(scaled, "png", bos)
+          bos.toByteArray
+        }
+        Row.fromSeq(row.toSeq :+ out)
+      }
+    }
   }
 
   /** Partition-batched feature extraction (the mapInPandas analog):

@@ -41,6 +41,60 @@ class MultimodalSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(df.filter(col("m.format").isNull).count() == 0)
   }
 
+  test("decodeImage: real pixel decode — PNG exact, JPEG approximate, WebP header-only, garbage null") {
+    import graft.functions.SyntheticImage
+    val df = MultimodalOps.decodeImage(
+      spark.range(0, 120).select(col("id"),
+        SyntheticImage.syntheticImage(col("id")).as("content")), "content")
+    val rows = df.select("id", "format", "width", "height", "mean_r", "mean_g", "mean_b")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    for (id <- 0L until 120L) {
+      val r = rows(id)
+      if (SyntheticImage.isGarbage(id)) {
+        assert(r.isNullAt(1) && r.isNullAt(2) && r.isNullAt(4), s"id=$id")
+      } else {
+        assert(r.getInt(2) === SyntheticImage.width(id), s"id=$id")
+        assert(r.getInt(3) === SyntheticImage.height(id), s"id=$id")
+        val c = SyntheticImage.rgb(id)
+        id % 5 match {
+          case 0 => // PNG: lossless, solid-fill means are exact
+            assert(r.getString(1) === "png")
+            assert(r.getDouble(4) === ((c >> 16) & 0xFF).toDouble, s"id=$id")
+            assert(r.getDouble(5) === ((c >> 8) & 0xFF).toDouble, s"id=$id")
+            assert(r.getDouble(6) === (c & 0xFF).toDouble, s"id=$id")
+          case 1 => // JPEG: real decode, lossy — tight tolerance on a solid fill
+            assert(r.getString(1) === "jpeg")
+            assert(math.abs(r.getDouble(4) - ((c >> 16) & 0xFF)) < 4.0, s"id=$id")
+            assert(math.abs(r.getDouble(5) - ((c >> 8) & 0xFF)) < 4.0, s"id=$id")
+            assert(math.abs(r.getDouble(6) - (c & 0xFF)) < 4.0, s"id=$id")
+          case _ => // WebP: header-only fallback, no JDK rasterizer
+            assert(r.getString(1) === "webp")
+            assert(r.isNullAt(4) && r.isNullAt(5) && r.isNullAt(6), s"id=$id")
+        }
+      }
+    }
+  }
+
+  test("resizeImage: real decode→rescale→PNG re-encode preserves solid fill") {
+    import graft.functions.SyntheticImage
+    val src = spark.range(0, 60).select(col("id"),
+      SyntheticImage.syntheticImage(col("id")).as("content"))
+    val resized = MultimodalOps.decodeImage(
+      MultimodalOps.resizeImage(src, "content", 16, 12).drop("content"), "resized")
+    val rows = resized.select("id", "format", "width", "height", "mean_r")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    for (id <- 0L until 60L) {
+      val r = rows(id)
+      if (SyntheticImage.isGarbage(id) || id % 5 >= 2) {
+        assert(r.isNullAt(1), s"id=$id: undecodable input must resize to null")
+      } else {
+        assert(r.getString(1) === "png" && r.getInt(2) === 16 && r.getInt(3) === 12, s"id=$id")
+        if (id % 5 == 0) // PNG in, PNG out: solid fill survives exactly
+          assert(r.getDouble(4) === ((SyntheticImage.rgb(id) >> 16) & 0xFF).toDouble, s"id=$id")
+      }
+    }
+  }
+
   test("sampleFrames explodes every Nth chunk with frame indices") {
     val df = MultimodalOps.sampleFrames(assets(5), "content", everyN = 2)
     assert(df.count() > 5)
