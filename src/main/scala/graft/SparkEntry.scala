@@ -445,6 +445,36 @@ object SparkEntry {
           when(col("format") === "png", col("mean_b")).as("mean_b"))
     }),
 
+    "mm_audio_meta" -> ((s, dir) => {
+      // REAL audio end to end: synthesize actual RIFF/WAVE bytes with the
+      // JDK's own codec, then parse channels/rate/bits/frames back with
+      // AudioMeta's pure-byte chunk walk inside whole-stage codegen.
+      // Garbage rows (every 7th) must classify as null.
+      import graft.functions.{AudioMeta, SyntheticAudio}
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          SyntheticAudio.syntheticAudio(col("doc_id").cast("long")).as("content"))
+        .select(col("doc_id"), AudioMeta.audioMeta(col("content")).as("m"))
+        .select(col("doc_id"), col("m.format").as("format"),
+          col("m.channels").as("channels"), col("m.sample_rate").as("sample_rate"),
+          col("m.bits").as("bits"), col("m.n_frames").as("n_frames"))
+    }),
+
+    "mm_audio_stats" -> ((s, dir) => {
+      // REAL PCM decode: javax.sound.sampled streams the frames and the
+      // kernel computes exact mean/RMS/peak amplitude — constant-fill
+      // PCM16 round-trips losslessly, so every value is oracle-exact.
+      import graft.functions.SyntheticAudio
+      import graft.operators.MultimodalOps
+      val assets = t(s, dir, "documents")
+        .select(col("doc_id"),
+          SyntheticAudio.syntheticAudio(col("doc_id").cast("long")).as("content"))
+      MultimodalOps.decodeAudio(assets, "content")
+        .select(col("doc_id"), col("format"), col("channels"),
+          col("sample_rate"), col("n_frames"),
+          col("mean_amp"), col("rms_amp"), col("peak_amp"))
+    }),
+
     // rows-only: approximate by construction (recall ≥ 0.95 measured in
     // OperatorsScaleSpec against the brute-force oracle).
     // Multi-probe in the regime LSH is FOR — retrieving each vector's
@@ -696,6 +726,35 @@ object SparkEntry {
         |       THEN CAST(((doc_id * 2654435761) // 256) % 256 AS DOUBLE) END AS mean_g,
         |  CASE WHEN doc_id % 7 <> 0 AND doc_id % 5 = 0
         |       THEN CAST((doc_id * 2654435761) % 256 AS DOUBLE) END AS mean_b
+        |FROM documents""".stripMargin,
+    "mm_audio_meta" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 7 = 0 THEN NULL ELSE 'wav' END AS format,
+        |  CASE WHEN doc_id % 7 = 0 THEN NULL
+        |       ELSE CAST(1 + doc_id % 2 AS INT) END AS channels,
+        |  CASE WHEN doc_id % 7 = 0 THEN NULL
+        |       WHEN doc_id % 3 = 0 THEN 8000
+        |       WHEN doc_id % 3 = 1 THEN 16000 ELSE 44100 END AS sample_rate,
+        |  CASE WHEN doc_id % 7 = 0 THEN NULL ELSE 16 END AS bits,
+        |  CASE WHEN doc_id % 7 = 0 THEN NULL
+        |       ELSE CAST(200 + (doc_id * 31) % 800 AS BIGINT) END AS n_frames
+        |FROM documents""".stripMargin,
+    "mm_audio_stats" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 7 = 0 THEN NULL ELSE 'wav' END AS format,
+        |  CASE WHEN doc_id % 7 = 0 THEN NULL
+        |       ELSE CAST(1 + doc_id % 2 AS INT) END AS channels,
+        |  CASE WHEN doc_id % 7 = 0 THEN NULL
+        |       WHEN doc_id % 3 = 0 THEN 8000
+        |       WHEN doc_id % 3 = 1 THEN 16000 ELSE 44100 END AS sample_rate,
+        |  CASE WHEN doc_id % 7 = 0 THEN NULL
+        |       ELSE CAST(200 + (doc_id * 31) % 800 AS BIGINT) END AS n_frames,
+        |  CASE WHEN doc_id % 7 = 0 THEN NULL
+        |       ELSE CAST((doc_id * 97) % 20000 - 10000 AS DOUBLE) END AS mean_amp,
+        |  CASE WHEN doc_id % 7 = 0 THEN NULL
+        |       ELSE CAST(ABS((doc_id * 97) % 20000 - 10000) AS DOUBLE) END AS rms_amp,
+        |  CASE WHEN doc_id % 7 = 0 THEN NULL
+        |       ELSE CAST(ABS((doc_id * 97) % 20000 - 10000) AS INT) END AS peak_amp
         |FROM documents""".stripMargin,
     "emb_dup_lsh" ->
       VectorOps.rhpNearDupPlantedOracleSql("embeddings", "vec_id", "embedding",

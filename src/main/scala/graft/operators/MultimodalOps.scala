@@ -15,11 +15,14 @@ import org.apache.spark.sql.types._
   * and `decodeImage` / `resizeImage` run the JDK's own codecs
   * (`javax.imageio`, PNG/JPEG/GIF/BMP) as partition-batched kernels,
   * falling back to header-only metadata for container formats the JDK
-  * can't rasterize (WebP) and classifying garbage as null. Only the
-  * AUDIO/VIDEO kernels remain deterministic stand-ins (`decodeMeta` over
-  * the GRFT synthetic header, `extractFeatures` content hashing,
-  * `sampleFrames` chunking) — the JDK ships no audio/video codecs — with
-  * the Spark-side contract (schema, partitioning, batch iteration, null
+  * can't rasterize (WebP) and classifying garbage as null. The AUDIO
+  * path is real too: `graft.functions.AudioMeta` parses RIFF/WAVE
+  * headers in codegen and `decodeAudio` streams PCM frames through the
+  * JDK's WAV codec (`javax.sound.sampled`) for exact sample statistics.
+  * Only the VIDEO kernels remain deterministic stand-ins (`decodeMeta`
+  * over the GRFT synthetic header, `extractFeatures` content hashing,
+  * `sampleFrames` chunking) — the JDK ships no video codec — with the
+  * Spark-side contract (schema, partitioning, batch iteration, null
   * handling) real and gate-tested.
   */
 object MultimodalOps {
@@ -158,6 +161,57 @@ object MultimodalOps {
         Row.fromSeq(row.toSeq :+ out)
       }
     }
+  }
+
+  /** REAL partition-batched audio decode: the JDK's own WAV codec
+    * (`javax.sound.sampled`) parses and streams the PCM frames; the
+    * kernel emits format metadata plus exact sample statistics
+    * (mean / RMS / peak amplitude) for 16-bit little-endian PCM, and
+    * header-only metadata for PCM widths it doesn't sample-decode.
+    * Unrecognized bytes classify as all-null. */
+  def decodeAudio(df: DataFrame, contentCol: String): DataFrame = {
+    val outSchema = StructType(df.schema.fields ++ Seq(
+      StructField("format", StringType),
+      StructField("channels", IntegerType),
+      StructField("sample_rate", IntegerType),
+      StructField("bits", IntegerType),
+      StructField("n_frames", LongType),
+      StructField("mean_amp", DoubleType),
+      StructField("rms_amp", DoubleType),
+      StructField("peak_amp", IntegerType)))
+    implicit val enc = Encoders.row(outSchema)
+    val idx = df.schema.fieldIndex(contentCol)
+    df.mapPartitions { it =>
+      it.map { row =>
+        Row.fromSeq(row.toSeq ++ decodeAudioOne(row.getAs[Array[Byte]](idx)))
+      }
+    }
+  }
+
+  private def decodeAudioOne(bytes: Array[Byte]): Seq[Any] = {
+    if (bytes == null) return Seq.fill[Any](8)(null)
+    val in =
+      try javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      catch { case _: Exception => null } // non-audio classifies, never throws
+    if (in == null) return Seq.fill[Any](8)(null)
+    val f = in.getFormat
+    val meta = Seq[Any]("wav", f.getChannels, f.getSampleRate.toInt,
+      f.getSampleSizeInBits, in.getFrameLength)
+    if (f.getSampleSizeInBits == 16 && !f.isBigEndian &&
+        f.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED) {
+      val pcm = in.readAllBytes()
+      val n = pcm.length / 2
+      var sum = 0L; var sumSq = 0L; var peak = 0; var i = 0
+      while (i < n) {
+        val v = ((pcm(2 * i) & 0xFF) | (pcm(2 * i + 1) << 8)).toShort.toInt
+        sum += v; sumSq += v.toLong * v
+        if (math.abs(v) > peak) peak = math.abs(v)
+        i += 1
+      }
+      if (n == 0) meta ++ Seq(null, null, null)
+      else meta ++ Seq[Any](sum.toDouble / n, math.sqrt(sumSq.toDouble / n), peak)
+    } else meta ++ Seq(null, null, null)
   }
 
   /** Partition-batched feature extraction (the mapInPandas analog):
