@@ -32,9 +32,11 @@ case class DecodeOptions(strict: Boolean = true, validate: Boolean = true,
   *
   * Unlike the reference's per-partition Jackson `mapPartitions`
   * (DebeziumTransform.scala:531-655 — an optimizer-opaque object boundary),
-  * the relational path here is pure Catalyst: one `from_json` + per-column
-  * coercion expressions. Predicate pushdown, column pruning and whole-stage
-  * codegen all survive, and AQE sees real statistics.
+  * the relational path here is pure Catalyst: one byte-level envelope
+  * split (`EnvelopeSlices` — the ~70%-of-bytes schema header never
+  * reaches Jackson), `from_json` over just the row images, then
+  * per-column coercion expressions. Predicate pushdown, column pruning
+  * and whole-stage codegen all survive, and AQE sees real statistics.
   *
   * Event IR columns (mirror of eventSchema, reference :244-254):
   *   key:string, offset:long, connector:string, operation:string,
@@ -58,23 +60,32 @@ object EnvelopeDecoder {
     schema.columns.exists(c =>
       c.encoding == E.TimestampMessage || c.encoding == E.DecimalMessage)
 
-  /** Raw JSON shape of the envelope value for from_json (fast path: in
-    * non-strict mode the `before` image is dropped from the parse schema
-    * so Jackson skips those tokens entirely; the per-message `schema`
-    * section is parsed only when a column needs per-message dispatch). */
+  /** Parse shape of the message's `schema` header (only the `after`
+    * entry's field descriptors are consulted — reference :573). */
+  private val msgSchemaSectionType = StructType(Seq(
+    StructField("fields", ArrayType(StructType(Seq(
+      StructField("field", StringType),
+      StructField("fields", ArrayType(fieldDescType))))))))
+
+  /** One row image's raw JSON shape. */
+  private def payloadJsonType(schema: CdcSchema, jsonName: String => String): StructType =
+    StructType(schema.columns.map(c =>
+      StructField(jsonName(c.name), c.rawJsonType, nullable = true)))
+
+  /** Raw JSON shape of the WHOLE envelope for a single from_json (the
+    * pre-slicer decode path, kept for stage-isolation benchmarking in
+    * graft.DecodeBench: in non-strict mode the `before` image is dropped
+    * from the parse schema so Jackson skips those tokens, and the
+    * per-message `schema` section is parsed only when a column needs
+    * per-message dispatch — but Jackson still LEXES every skipped byte,
+    * which is why the production path slices first). */
   private def valueJsonType(schema: CdcSchema, includeBefore: Boolean,
       includeMsgSchema: Boolean, jsonName: String => String): StructType = {
-    val payloadType = StructType(schema.columns.map(c =>
-      StructField(jsonName(c.name), c.rawJsonType, nullable = true)))
+    val payloadType = payloadJsonType(schema, jsonName)
     val before =
       if (includeBefore) Seq(StructField("before", payloadType)) else Nil
     val msgSchema =
-      if (includeMsgSchema)
-        Seq(StructField("schema", StructType(Seq(
-          StructField("fields", ArrayType(StructType(Seq(
-            StructField("field", StringType),
-            StructField("fields", ArrayType(fieldDescType))))))))))
-      else Nil
+      if (includeMsgSchema) Seq(StructField("schema", msgSchemaSectionType)) else Nil
     StructType(msgSchema ++ Seq(
       StructField("payload", StructType(before ++ Seq(
         StructField("after", payloadType),
@@ -84,6 +95,11 @@ object EnvelopeDecoder {
         StructField("op", StringType),
         StructField("ts_ms", LongType))))))
   }
+
+  /** The raw envelope parse schema (exposed for stage-isolation
+    * benchmarking in graft.DecodeBench). */
+  def valueParseType(schema: CdcSchema, includeBefore: Boolean): StructType =
+    valueJsonType(schema, includeBefore, needsMsgSchema(schema), n => n)
 
   /** Constant epoch-anchored zone offset: the reference re-anchors
     * io.debezium.time.Timestamp wall-clock millis with the zone offset AT
@@ -210,18 +226,35 @@ object EnvelopeDecoder {
     def jsonName(n: String): String = if (fold) n.toLowerCase else n
 
     val withMsg = needsMsgSchema(schema)
-    val vt = valueJsonType(schema, includeBefore = opts.strict, withMsg, jsonName)
+    val pt = payloadJsonType(schema, jsonName)
     val kt = StructType(Seq(StructField("payload", StructType(
       schema.keyColumns.map(c =>
         StructField(jsonName(c.name), c.rawJsonType, nullable = true))))))
 
-    val parsed = raw
+    // stage 1 — one byte-level pass splits the envelope into raw slices
+    // (EnvelopeSlices: the schema header is ~70% of the bytes and Jackson
+    // would lex all of it even under a pruned parse schema); stage 2 —
+    // from_json parses ONLY the ~small row images. Two select boundaries
+    // keep each non-cheap expression evaluated once (CollapseProject
+    // never inlines non-cheap exprs with multiple uses).
+    val sliced = raw
       .filter(col("value").isNotNull)
       .select(
         col("key").isNotNull.as("_key_present"),
         from_json(col("key").cast(StringType), kt).as("_k"),
-        from_json(col("value").cast(StringType), vt).as("_v"),
+        graft.functions.EnvelopeSlices.envelopeSlices(
+          col("value"), withMsg, opts.strict).as("_s"),
         col("topic"), col("offset"))
+
+    val parsed = sliced.select(
+      col("_key_present"), col("_k"), col("topic"), col("offset"),
+      col("_s.op").as("_op"),
+      col("_s.connector").as("_connector"),
+      from_json(col("_s.after_json"), pt).as("_after_raw"),
+      (if (opts.strict) from_json(col("_s.before_json"), pt)
+       else lit(null).cast(pt)).as("_before_raw"),
+      (if (withMsg) from_json(col("_s.schema_json"), msgSchemaSectionType)
+       else lit(null).cast(msgSchemaSectionType)).as("_msg_schema"))
 
     // canonical key string: key payload values joined with "|" (reference
     // :546), guarded by the reference's null/shape checks (:539-544)
@@ -238,12 +271,12 @@ object EnvelopeDecoder {
 
     val msgFields: Option[Column] =
       if (withMsg)
-        Some(descOfAfter(col("_v.schema.fields")))
+        Some(descOfAfter(col("_msg_schema.fields")))
       else None
 
-    val op = col("_v.payload.op")
-    val afterRaw = col("_v.payload.after")
-    val beforeRaw = col("_v.payload.before")
+    val op = col("_op")
+    val afterRaw = col("_after_raw")
+    val beforeRaw = col("_before_raw")
 
     val after0 = payloadStruct(schema, afterRaw, col("topic"), col("offset"),
       opts.validate, "after", jsonName, msgFields)
@@ -276,7 +309,7 @@ object EnvelopeDecoder {
     parsed.select(
       keyCol.as("key"),
       col("offset"),
-      col("_v.payload.source.connector").as("connector"),
+      col("_connector").as("connector"),
       op.as("operation"),
       before.as("before"),
       after.as("after"),

@@ -1,0 +1,104 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.EnvelopeSlices
+
+/** Byte-level envelope splitter: structural coverage the integration
+  * suites (TypeFidelitySpec, CdcRoundTripSpec, gate cdc_* queries) don't
+  * isolate — escapes, whitespace, field order, malformed shapes. */
+class EnvelopeSlicesSpec extends AnyFunSuite {
+
+  private def parse(json: String, wantSchema: Boolean = false,
+      wantBefore: Boolean = true): Option[(String, String, String, String, String)] =
+    Option(EnvelopeSlices.parse(json.getBytes("UTF-8"), wantSchema, wantBefore))
+      .map { r =>
+        def s(i: Int) = if (r.isNullAt(i)) null else r.getUTF8String(i).toString
+        (s(0), s(1), s(2), s(3), s(4))
+      }
+
+  test("slices a canonical envelope") {
+    val r = parse(
+      """{"schema":{"fields":[1,2]},"payload":{"before":null,"after":{"a":1,"b":"x"},"source":{"connector":"mysql","ts_ms":0},"op":"c","ts_ms":5}}""")
+    assert(r === Some((null, null, """{"a":1,"b":"x"}""", "c", "mysql")))
+  }
+
+  test("captures before and the schema header when asked") {
+    val env =
+      """{"schema":{"fields":[{"field":"after"}]},"payload":{"before":{"a":0},"after":{"a":1},"source":{"connector":"postgresql"},"op":"u"}}"""
+    assert(parse(env, wantSchema = true) ===
+      Some(("""{"fields":[{"field":"after"}]}""", """{"a":0}""", """{"a":1}""", "u", "postgresql")))
+    // fast path skips before at byte speed
+    assert(parse(env, wantBefore = false) ===
+      Some((null, null, """{"a":1}""", "u", "postgresql")))
+  }
+
+  test("tolerates whitespace, reordered fields, and unknown keys") {
+    val r = parse(
+      """ { "payload" : { "op" : "d" , "extra": [ {"x": "}"} , 2 ] ,
+        |    "source": { "version": "2.1", "connector" : "oracle" } ,
+        |    "after" : null , "before": {"a": 3} } ,
+        |  "schema": {"deep": {"nest": ["brace }", "]"]}} } """.stripMargin)
+    assert(r === Some((null, """{"a": 3}""", null, "d", "oracle")))
+  }
+
+  test("decodes escaped scalars; braces inside strings never confuse the walk") {
+    val r = parse(
+      """{"payload":{"op":"c","after":{"t":"a \"quoted\" } brace"},"source":{"connector":"my\\sql"}}}""")
+    assert(r.get._4 === "c")
+    assert(r.get._5 === "my\\sql")
+    assert(r.get._3 === """{"t":"a \"quoted\" } brace"}""")
+  }
+
+  test("malformed input classifies as null row, never throws") {
+    for (bad <- Seq("", "{", """{"payload":}""", """{"payload":{"op":"c"""",
+        "not json at all", """{"payload": 5}""", """[1,2,3]"""))
+      assert(parse(bad) === None, s"input: $bad")
+    // a non-object source isn't structural corruption: connector is just
+    // absent (same as from_json's null for a shape mismatch)
+    assert(parse("""{"payload":{"source":[1],"op":"c"}}""") ===
+      Some((null, null, null, "c", null)))
+  }
+
+  test("absent payload fields stay null; empty objects parse") {
+    assert(parse("""{"payload":{}}""") === Some((null, null, null, null, null)))
+    assert(parse("""{"other": 1, "payload":{"op":"r"}}""") ===
+      Some((null, null, null, "r", null)))
+  }
+
+  test("multibyte UTF-8 content passes through slices untouched") {
+    val r = parse("""{"payload":{"op":"c","after":{"t":"héllo 世界 🙂"}}}""")
+    assert(r.get._3 === """{"t":"héllo 世界 🙂"}""")
+  }
+}
+
+/** Plan-shape guard for the sliced decode: the slicer and each from_json
+  * must be evaluated once per row (CollapseProject duplicating either
+  * would undo the whole optimization) and the decode must stay inside
+  * whole-stage codegen. */
+class EnvelopeSlicesPlanSpec extends AnyFunSuite with SparkSessionTestWrapper {
+  import org.apache.spark.sql.functions._
+
+  test("decode plan: one slicer, one from_json per image, codegen intact") {
+    val raw = spark.range(10).select(
+      concat(lit("""{"payload":{"conv_id":"c"""), col("id"),
+        lit("""","turn_idx":0}}""")).cast("binary").as("key"),
+      concat(lit("""{"schema":{},"payload":{"before":null,"after":{"conv_id":"c"""),
+        col("id"),
+        lit("""","turn_idx":0,"role":"user","text":"t","tool":null,"ts":1700000000000000},"source":{"connector":"mysql","ts_ms":0},"op":"c","ts_ms":0}}"""))
+        .cast("binary").as("value"),
+      lit("t").as("topic"), lit(0).as("partition"), col("id").as("offset"))
+    val decoded = graft.decode.EnvelopeDecoder.decodeRelational(
+      raw, graft.model.CdcSchema.transcripts,
+      graft.decode.DecodeOptions(strict = true, validate = true))
+    val plan = decoded.queryExecution.executedPlan
+    val s = plan.toString
+    assert("envelopeslices\\(".r.findAllIn(s.toLowerCase).size === 1, s)
+    // key + after + before images (transcripts needs no schema header)
+    assert("from_json\\(".r.findAllIn(s).size === 3, s)
+    assert(plan.collect {
+      case w: org.apache.spark.sql.execution.WholeStageCodegenExec => w
+    }.nonEmpty, s)
+    assert(decoded.count() === 10)
+  }
+}
