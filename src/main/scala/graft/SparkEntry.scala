@@ -475,6 +475,36 @@ object SparkEntry {
           col("mean_amp"), col("rms_amp"), col("peak_amp"))
     }),
 
+    "mm_video_meta" -> ((s, dir) => {
+      // REAL video container end to end: synthesize actual RIFF/AVI
+      // bytes carrying MJPEG frames, parse dims/frame-count/fps back from
+      // the avih main header with VideoMeta's pure-byte walk in codegen.
+      import graft.functions.{SyntheticVideo, VideoMeta}
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          SyntheticVideo.syntheticVideo(col("doc_id").cast("long")).as("content"))
+        .select(col("doc_id"), VideoMeta.videoMeta(col("content")).as("m"))
+        .select(col("doc_id"), col("m.format").as("format"),
+          col("m.width").as("width"), col("m.height").as("height"),
+          col("m.n_frames").as("n_frames"), col("m.fps").as("fps"))
+    }),
+
+    "mm_video_frames" -> ((s, dir) => {
+      // REAL demux + per-frame rasterize: walk the AVI movi list, explode
+      // each MJPEG chunk to a row, decode it with the JDK JPEG codec —
+      // frame dims come from ACTUAL pixel decode, not the container
+      // header. Garbage docs (every 7th) demux to zero rows.
+      import graft.functions.SyntheticVideo
+      import graft.operators.MultimodalOps
+      val assets = t(s, dir, "documents")
+        .select(col("doc_id"),
+          SyntheticVideo.syntheticVideo(col("doc_id").cast("long")).as("content"))
+      MultimodalOps.decodeImage(
+        MultimodalOps.demuxVideoFrames(assets, "content").drop("content"), "frame")
+        .select(col("doc_id"), col("frame_idx"),
+          col("format"), col("width"), col("height"))
+    }),
+
     // rows-only: approximate by construction (recall ≥ 0.95 measured in
     // OperatorsScaleSpec against the brute-force oracle).
     // Multi-probe in the regime LSH is FOR — retrieving each vector's
@@ -756,6 +786,26 @@ object SparkEntry {
         |  CASE WHEN doc_id % 7 = 0 THEN NULL
         |       ELSE CAST(ABS((doc_id * 97) % 20000 - 10000) AS INT) END AS peak_amp
         |FROM documents""".stripMargin,
+    "mm_video_meta" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 7 = 0 THEN NULL ELSE 'avi' END AS format,
+        |  CASE WHEN doc_id % 7 = 0 THEN NULL
+        |       ELSE CAST(8 + (doc_id * 37) % 120 AS INT) END AS width,
+        |  CASE WHEN doc_id % 7 = 0 THEN NULL
+        |       ELSE CAST(8 + (doc_id * 53) % 120 AS INT) END AS height,
+        |  CASE WHEN doc_id % 7 = 0 THEN NULL
+        |       ELSE CAST(3 + (doc_id * 13) % 5 AS BIGINT) END AS n_frames,
+        |  CASE WHEN doc_id % 7 = 0 THEN NULL
+        |       WHEN doc_id % 3 = 0 THEN 10
+        |       WHEN doc_id % 3 = 1 THEN 20 ELSE 25 END AS fps
+        |FROM documents""".stripMargin,
+    "mm_video_frames" ->
+      """SELECT doc_id,
+        |  CAST(UNNEST(range(0, 3 + (doc_id * 13) % 5)) AS INT) AS frame_idx,
+        |  'jpeg' AS format,
+        |  CAST(8 + (doc_id * 37) % 120 AS INT) AS width,
+        |  CAST(8 + (doc_id * 53) % 120 AS INT) AS height
+        |FROM documents WHERE doc_id % 7 <> 0""".stripMargin,
     "emb_dup_lsh" ->
       VectorOps.rhpNearDupPlantedOracleSql("embeddings", "vec_id", "embedding",
         bits = 32, maxHamming = 3, threshold = 0.95),

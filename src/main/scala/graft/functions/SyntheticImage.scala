@@ -66,7 +66,7 @@ object SyntheticImage {
 
   /** Solid-color encode through the JDK codec (no Graphics2D — setRGB
     * keeps the AWT surface minimal and headless-proof). */
-  private def encode(fmt: String, w: Int, h: Int, color: Int): Array[Byte] = {
+  private[graft] def encode(fmt: String, w: Int, h: Int, color: Int): Array[Byte] = {
     val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
     var y = 0
     while (y < h) {

@@ -16,14 +16,15 @@ import org.apache.spark.sql.types._
   * (`javax.imageio`, PNG/JPEG/GIF/BMP) as partition-batched kernels,
   * falling back to header-only metadata for container formats the JDK
   * can't rasterize (WebP) and classifying garbage as null. The AUDIO
-  * path is real too: `graft.functions.AudioMeta` parses RIFF/WAVE
-  * headers in codegen and `decodeAudio` streams PCM frames through the
-  * JDK's WAV codec (`javax.sound.sampled`) for exact sample statistics.
-  * Only the VIDEO kernels remain deterministic stand-ins (`decodeMeta`
-  * over the GRFT synthetic header, `extractFeatures` content hashing,
-  * `sampleFrames` chunking) — the JDK ships no video codec — with the
-  * Spark-side contract (schema, partitioning, batch iteration, null
-  * handling) real and gate-tested.
+  * path is real: `graft.functions.AudioMeta` parses RIFF/WAVE headers
+  * in codegen and `decodeAudio` streams PCM frames through the JDK's
+  * WAV codec (`javax.sound.sampled`) for exact sample statistics. The
+  * VIDEO path is real for AVI/MJPEG: `graft.functions.VideoMeta` parses
+  * the AVI main header in codegen, `demuxVideoFrames` walks the movi
+  * list byte-by-byte, and each MJPEG frame rasterizes through the JDK
+  * JPEG codec — zero external libraries end to end. (`decodeMeta` /
+  * `extractFeatures` / `sampleFrames` over the GRFT synthetic header
+  * remain as the generic-binary plumbing exercises.)
   */
 object MultimodalOps {
 
@@ -212,6 +213,56 @@ object MultimodalOps {
       if (n == 0) meta ++ Seq(null, null, null)
       else meta ++ Seq[Any](sum.toDouble / n, math.sqrt(sumSq.toDouble / n), peak)
     } else meta ++ Seq(null, null, null)
+  }
+
+  /** REAL video demux: walks the RIFF/AVI `movi` list with pure byte
+    * logic and explodes each `00dc`/`00db` video chunk into a row
+    * (frame_idx, frame bytes) — for MJPEG those payloads are genuine
+    * JPEGs, so `decodeImage` downstream rasterizes them with the JDK
+    * codec. Non-AVI or frame-free content yields no rows (a demux is a
+    * filter, not a validator). The 1→N explosion runs inside a
+    * partition iterator via flatMap — no driver involvement, and the
+    * output partitioning stays the input's. */
+  def demuxVideoFrames(df: DataFrame, contentCol: String): DataFrame = {
+    val outSchema = StructType(df.schema.fields ++ Seq(
+      StructField("frame_idx", IntegerType, nullable = false),
+      StructField("frame", BinaryType, nullable = false)))
+    implicit val enc = Encoders.row(outSchema)
+    val idx = df.schema.fieldIndex(contentCol)
+    df.mapPartitions { it =>
+      it.flatMap { row =>
+        aviFrames(row.getAs[Array[Byte]](idx)).zipWithIndex.map {
+          case (frame, i) => Row.fromSeq(row.toSeq ++ Seq(i, frame))
+        }
+      }
+    }
+  }
+
+  /** The video-chunk payloads of an AVI's movi list; empty for non-AVI. */
+  private def aviFrames(b: Array[Byte]): Seq[Array[Byte]] = {
+    import graft.functions.VideoMeta.{is4, le32}
+    if (b == null || b.length < 20 || !is4(b, 0, "RIFF") || !is4(b, 8, "AVI "))
+      return Nil
+    var p = 12
+    while (p + 8 <= b.length) {
+      val sz = le32(b, p + 4)
+      if (sz < 0 || sz > Int.MaxValue) return Nil
+      if (is4(b, p, "LIST") && is4(b, p + 8, "movi")) {
+        val frames = Seq.newBuilder[Array[Byte]]
+        var q = p + 12
+        val end = math.min(b.length.toLong, p + 8 + sz).toInt
+        while (q + 8 <= end) {
+          val csz = le32(b, q + 4)
+          if (csz < 0 || q + 8 + csz > end) return frames.result()
+          if (is4(b, q, "00dc") || is4(b, q, "00db"))
+            frames += java.util.Arrays.copyOfRange(b, q + 8, q + 8 + csz.toInt)
+          q += 8 + csz.toInt + (csz.toInt & 1)
+        }
+        return frames.result()
+      }
+      p += 8 + sz.toInt + (sz.toInt & 1)
+    }
+    Nil
   }
 
   /** Partition-batched feature extraction (the mapInPandas analog):
