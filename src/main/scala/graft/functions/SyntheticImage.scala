@@ -44,6 +44,11 @@ case class SyntheticImage(child: Expression) extends UnaryExpression {
 
 object SyntheticImage {
 
+  // ImageIO defaults to a disk-backed ImageInputStream cache — a TEMP
+  // FILE per encode/decode call. In-memory streams only (per-executor
+  // static init; measured 4× on the per-frame video decode).
+  javax.imageio.ImageIO.setUseCache(false)
+
   /** Shared id→property formulas — the SQL oracles recompute these. */
   def width(id: Long): Int = (8 + (id * 37) % 120).toInt
   def height(id: Long): Int = (8 + (id * 53) % 120).toInt
