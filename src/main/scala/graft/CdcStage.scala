@@ -93,8 +93,10 @@ object CdcStage {
     // a key that differs from the declared key columns would merge state on
     // the wrong column with no error
     cfg.initialStateKey.foreach { k =>
-      val keys = k.split(",").map(_.trim).toSeq
-      require(keys == schema.keyNames,
+      // set comparison: "b,a" groups identically to "a,b" for a composite
+      // key — only a genuinely different column set merges wrong state
+      val keys = k.split(",").map(_.trim).toSet
+      require(keys == schema.keyNames.toSet,
         s"initialStateKey '${k}' does not match the declared key columns " +
           schema.keyNames.mkString("[", ",", "]"))
     }

@@ -363,14 +363,9 @@ object SparkEntry {
       // ham ≤ 3 predicate by construction) + exact cosine re-verify.
       // The oracle recomputes the identical integer signatures and
       // brute-forces all pairs.
-      val emb = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
-      val planted = emb.select(
-        (col("vec_id") + 1000000L).as("vec_id"),
-        transform(col("embedding"), (x, i) =>
-          when(i.cast("long") === pmod(col("vec_id"), size(col("embedding")).cast("long")),
-            lit(0f)).otherwise(x)).as("embedding"))
-      VectorOps.rhpNearDupPairs(emb.unionByName(planted), "vec_id", "embedding",
-        bits = 32, maxHamming = 3, threshold = 0.95)
+      VectorOps.rhpNearDupPairs(
+        VectorOps.withPlantedTwins(t(s, dir, "embeddings"), "vec_id", "embedding"),
+        "vec_id", "embedding", bits = 32, maxHamming = 3, threshold = 0.95)
     }),
     "ann_topk" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
@@ -475,6 +470,24 @@ object SparkEntry {
           col("mean_amp"), col("rms_amp"), col("peak_amp"))
     }),
 
+    "mm_resize" -> ((s, dir) => {
+      // REAL resize round trip: decode (JDK codec) → nearest-neighbor
+      // rescale → lossless PNG re-encode → decode again. PNG-in rows
+      // keep their exact solid fill through the whole chain (oracle-
+      // exact); JPEG-in rows carry codec loss so their mean projects
+      // null (spec asserts tolerance); WebP/garbage can't rasterize and
+      // must come back all-null.
+      import graft.functions.SyntheticImage
+      import graft.operators.MultimodalOps
+      val assets = t(s, dir, "documents")
+        .select(col("doc_id"),
+          SyntheticImage.syntheticImage(col("doc_id").cast("long")).as("content"))
+      MultimodalOps.decodeImage(
+        MultimodalOps.resizeImage(assets, "content", 16, 12).drop("content"), "resized")
+        .select(col("doc_id"), col("format"), col("width"), col("height"),
+          when(pmod(col("doc_id"), lit(5)) === 0, col("mean_r")).as("mean_r"))
+    }),
+
     "mm_video_meta" -> ((s, dir) => {
       // REAL video container end to end: synthesize actual RIFF/AVI
       // bytes carrying MJPEG frames, parse dims/frame-count/fps back from
@@ -516,14 +529,9 @@ object SparkEntry {
     // the pairs — 78× fewer candidates / 10× wall time vs the 16-table
     // config at sf0.1 (BENCH.md).
     "ann_lsh" -> ((s, dir) => {
-      val emb = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
-      val planted = emb.select(
-        (col("vec_id") + 1000000L).as("vec_id"),
-        transform(col("embedding"), (x, i) =>
-          when(i.cast("long") === pmod(col("vec_id"), size(col("embedding")).cast("long")),
-            lit(0f)).otherwise(x)).as("embedding"))
-      VectorOps.annLshTopK(emb.unionByName(planted), "vec_id", "embedding",
-        k = 1, bits = 12, tables = 2, probeHamming = 1)
+      VectorOps.annLshTopK(
+        VectorOps.withPlantedTwins(t(s, dir, "embeddings"), "vec_id", "embedding"),
+        "vec_id", "embedding", k = 1, bits = 12, tables = 2, probeHamming = 1)
     }),
   )
 
@@ -785,6 +793,17 @@ object SparkEntry {
         |       ELSE CAST(ABS((doc_id * 97) % 20000 - 10000) AS DOUBLE) END AS rms_amp,
         |  CASE WHEN doc_id % 7 = 0 THEN NULL
         |       ELSE CAST(ABS((doc_id * 97) % 20000 - 10000) AS INT) END AS peak_amp
+        |FROM documents""".stripMargin,
+    "mm_resize" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 7 = 0 OR doc_id % 5 >= 2 THEN NULL
+        |       ELSE 'png' END AS format,
+        |  CASE WHEN doc_id % 7 = 0 OR doc_id % 5 >= 2 THEN NULL
+        |       ELSE 16 END AS width,
+        |  CASE WHEN doc_id % 7 = 0 OR doc_id % 5 >= 2 THEN NULL
+        |       ELSE 12 END AS height,
+        |  CASE WHEN doc_id % 7 <> 0 AND doc_id % 5 = 0
+        |       THEN CAST(((doc_id * 2654435761) // 65536) % 256 AS DOUBLE) END AS mean_r
         |FROM documents""".stripMargin,
     "mm_video_meta" ->
       """SELECT doc_id,

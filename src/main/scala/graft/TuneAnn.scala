@@ -16,11 +16,8 @@ object TuneAnn {
     val raw = spark.read.parquet(s"$sfDir/embeddings.parquet")
       .select(col("vec_id"), col("embedding"))
     val planted = sys.env.get("SPARK_GRAFT_TUNE_PLANTED").contains("1")
-    val embs = if (!planted) raw else raw.unionByName(raw.select(
-      (col("vec_id") + 1000000L).as("vec_id"),
-      transform(col("embedding"), (x, i) =>
-        when(i.cast("long") === pmod(col("vec_id"), size(col("embedding")).cast("long")),
-          lit(0f)).otherwise(x)).as("embedding"))).cache()
+    val embs = (if (!planted) raw
+      else VectorOps.withPlantedTwins(raw, "vec_id", "embedding")).cache()
     val k = if (planted) 1 else 3
     val truth = VectorOps.cosineTopK(embs, "vec_id", "embedding",
         embs, "vec_id", "embedding", k)

@@ -83,7 +83,9 @@ object AudioMeta {
       } else if (is(b, p, "data")) {
         dataLen = math.min(sz, (b.length - p - 8).toLong) // tolerate truncated tails
       }
-      p += 8 + sz.toInt + (sz.toInt & 1) // RIFF chunks are word-aligned
+      // Long advance: a hostile size near 2^31 must not wrap the index
+      val next = p.toLong + 8L + sz + (sz & 1L) // RIFF chunks are word-aligned
+      if (next > b.length) p = b.length else p = next.toInt
     }
     if (audioFmt != 1 || channels <= 0 || bits <= 0 || bits % 8 != 0 ||
         sampleRate <= 0 || sampleRate > Int.MaxValue || dataLen < 0) return null

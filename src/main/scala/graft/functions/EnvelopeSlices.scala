@@ -166,8 +166,9 @@ object EnvelopeSlices {
           case 'n' => sb.append('\n'); p += 2
           case 'r' => sb.append('\r'); p += 2
           case 't' => sb.append('\t'); p += 2
-          case 'u' if p + 5 < end =>
-            val cp = Integer.parseInt(new String(b, p + 2, 4, java.nio.charset.StandardCharsets.US_ASCII), 16)
+          case 'u' if p + 6 < end => // 4 hex digits must sit before the quote
+            val cp = hex4(b, p + 2)
+            if (cp < 0) return null // invalid hex: classify, don't throw
             sb.append(cp.toChar); p += 6
           case _ => return null // invalid escape: let the validator see null
         }
@@ -180,6 +181,23 @@ object EnvelopeSlices {
       }
     }
     UTF8String.fromString(sb.toString)
+  }
+
+  /** 4 hex digits at p as a code point; -1 if any byte isn't hex. */
+  private def hex4(b: Array[Byte], p: Int): Int = {
+    var v = 0
+    var i = p
+    while (i < p + 4) {
+      val c = b(i)
+      val d =
+        if (c >= '0' && c <= '9') c - '0'
+        else if (c >= 'a' && c <= 'f') c - 'a' + 10
+        else if (c >= 'A' && c <= 'F') c - 'A' + 10
+        else return -1
+      v = (v << 4) | d
+      i += 1
+    }
+    v
   }
 
   /** Compare the key string at [kFrom, kTo) (exclusive of quotes) to s. */

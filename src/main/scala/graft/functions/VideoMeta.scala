@@ -86,11 +86,14 @@ object VideoMeta {
             return new GenericInternalRow(Array[Any](UTF8String.fromString("avi"),
               w.toInt, h.toInt, totalFrames, (1000000L / usecPerFrame).toInt))
           }
-          q += 8 + csz.toInt + (csz.toInt & 1)
+          val nextQ = q.toLong + 8L + csz + (csz & 1L)
+          if (nextQ > end) q = end else q = nextQ.toInt
         }
         return null // hdrl without avih
       }
-      p += 8 + sz.toInt + (sz.toInt & 1)
+      // Long advance: a hostile size near 2^31 must not wrap the index
+      val next = p.toLong + 8L + sz + (sz & 1L)
+      if (next > b.length) p = b.length else p = next.toInt
     }
     null
   }

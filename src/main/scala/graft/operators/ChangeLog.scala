@@ -28,9 +28,13 @@ object ChangeLog {
   /** Keep the row with the greatest `orderCol` per key (last-writer-wins).
     * `orderCol` should be a total order within a key (e.g. Kafka offset /
     * LSN); duplicate (key, orderCol) rows are broken deterministically by
-    * the packed payload (greatest serialized payload wins on both the
-    * LastByOffset and max_by paths), so the winner is stable under
-    * repartitioning and arrival order.
+    * the packed payload, so the winner is stable under repartitioning and
+    * arrival order. The tie ORDER is path-specific (LastByOffset compares
+    * serialized payload bytes; max_by/min_by compare the struct
+    * field-wise) — each path is individually deterministic, but inputs
+    * with duplicate (key, orderCol) may pick different winners across
+    * paths, so don't switch an orderCol between integral and non-integral
+    * types under an oracle that has ties.
     *
     * Integral order columns run through LastByOffset
     * (TypedImperativeAggregate → ObjectHashAggregate): the built-in

@@ -128,6 +128,7 @@ object MultimodalOps {
       val fmt = if (meta == null) null else meta.getUTF8String(0).toString
       val img = fmt match {
         case "png" | "jpeg" => readVia(fmt, bytes)
+        case "webp" => null // no JDK rasterizer — skip the doomed SPI sniff
         case _ => readImage(bytes) // generic sniffing fallback (BMP/GIF/…)
       }
       if (img != null) {
@@ -283,11 +284,14 @@ object MultimodalOps {
           if (csz < 0 || q + 8 + csz > end) return frames.result()
           if (is4(b, q, "00dc") || is4(b, q, "00db"))
             frames += java.util.Arrays.copyOfRange(b, q + 8, q + 8 + csz.toInt)
-          q += 8 + csz.toInt + (csz.toInt & 1)
+          val nextQ = q.toLong + 8L + csz + (csz & 1L)
+          if (nextQ > end) q = end else q = nextQ.toInt
         }
         return frames.result()
       }
-      p += 8 + sz.toInt + (sz.toInt & 1)
+      // Long advance: a hostile size near 2^31 must not wrap the index
+      val next = p.toLong + 8L + sz + (sz & 1L)
+      if (next > b.length) p = b.length else p = next.toInt
     }
     Nil
   }

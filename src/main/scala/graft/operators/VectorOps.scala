@@ -15,6 +15,24 @@ import org.apache.spark.sql.functions._
   */
 object VectorOps {
 
+  /** Planted-twin id offset shared by every near-dup/ANN harness. */
+  val PlantedIdOffset = 1000000L
+
+  /** Append one deterministic near-duplicate per vector: twin id =
+    * id + [[PlantedIdOffset]], with component (id mod dim) zeroed —
+    * cos ≈ 0.99. The ONE shared builder for the planted-twin corpus:
+    * `rhpNearDupPlantedOracleSql`'s CASE expression recomputes this exact
+    * formula in DuckDB, so every gate/spec/tuner call site must route
+    * through here or the oracle silently diverges. */
+  def withPlantedTwins(emb: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val base = emb.select(col(idCol), col(vecCol))
+    base.unionByName(base.select(
+      (col(idCol) + PlantedIdOffset).as(idCol),
+      transform(col(vecCol), (x, i) =>
+        when(i.cast("long") === pmod(col(idCol), size(col(vecCol)).cast("long")),
+          lit(0f)).otherwise(x)).as(vecCol)))
+  }
+
   /** Dot product of two array<float> columns (float64 accumulate) —
     * native codegen expression (see FloatVectorDot: the zip_with/aggregate
     * HOF formulation allocates an intermediate array per pair). */

@@ -46,6 +46,11 @@ class AudioMetaSpec extends AnyFunSuite with SparkSessionTestWrapper {
     val nonPcm = wav.clone(); nonPcm(20) = 3 // fmt code 3 = IEEE float, not PCM
     assert(meta(nonPcm) === None)
     assert(meta(wav.take(30)) === None) // truncated before the data chunk
+    // hostile chunk size near 2^31 must not wrap the index (classify, not AIOOBE)
+    val hostile = wav.clone()
+    hostile(16) = 0xFF.toByte; hostile(17) = 0xFF.toByte
+    hostile(18) = 0xFF.toByte; hostile(19) = 0x7F.toByte
+    assert(meta(hostile) === None)
   }
 
   test("synthesize→header-decode end to end in whole-stage codegen") {

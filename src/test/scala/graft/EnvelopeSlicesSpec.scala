@@ -66,6 +66,18 @@ class EnvelopeSlicesSpec extends AnyFunSuite {
       Some((null, null, null, "r", null)))
   }
 
+  test("invalid or truncated unicode escapes classify, never throw") {
+    val bsU = "\\" + "u" // Scala 2 pre-processes \u even in triple quotes
+    // bad hex digits → scalar decodes to null, row survives
+    assert(parse(s"""{"payload":{"op":"${bsU}ZZZZ","after":{"a":1}}}""") ===
+      Some((null, null, """{"a":1}""", null, null)))
+    // escape truncated by the closing quote must not read past it
+    assert(parse(s"""{"payload":{"op":"x${bsU}AB1","after":null}}""") ===
+      Some((null, null, null, null, null)))
+    // valid escape still decodes
+    assert(parse(s"""{"payload":{"op":"${bsU}0063"}}""").get._4 === "c")
+  }
+
   test("multibyte UTF-8 content passes through slices untouched") {
     val r = parse("""{"payload":{"op":"c","after":{"t":"héllo 世界 🙂"}}}""")
     assert(r.get._3 === """{"t":"héllo 世界 🙂"}""")

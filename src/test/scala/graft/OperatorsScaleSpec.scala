@@ -65,12 +65,7 @@ class OperatorsScaleSpec extends AnyFunSuite with SparkSessionTestWrapper {
     // the regime LSH is for: every vector has a planted twin at cos ≈ 0.99;
     // multi-probe retrieves it from ~1% of the pairs (vs 64% for the
     // 16-table/4-bit config on this corpus — TuneAnn measurements in BENCH.md)
-    val base = embs.select(col("vec_id"), col("embedding"))
-    val planted = base.select((col("vec_id") + 1000000L).as("vec_id"),
-      transform(col("embedding"), (x, i) =>
-        when(i.cast("long") === pmod(col("vec_id"), size(col("embedding")).cast("long")),
-          lit(0f)).otherwise(x)).as("embedding"))
-    val corpus = base.unionByName(planted)
+    val corpus = VectorOps.withPlantedTwins(embs, "vec_id", "embedding")
     val truth = VectorOps.cosineTopK(corpus, "vec_id", "embedding",
         corpus, "vec_id", "embedding", 1)
       .select("query_id", "neighbor_id").collect()
@@ -133,14 +128,10 @@ class OperatorsScaleSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(blocked == brute,
       s"missed=${(brute -- blocked).take(5)} extra=${(blocked -- brute).take(5)}")
     // planted near-dups (one zeroed component) land inside the predicate
-    val base = embs.select(col("vec_id"), col("embedding"))
-    val planted = embs.select((col("vec_id") + 1000000L).as("vec_id"),
-      transform(col("embedding"), (x, i) =>
-        when(i.cast("long") === pmod(col("vec_id"), size(col("embedding")).cast("long")),
-          lit(0f)).otherwise(x)).as("embedding"))
-    val found = VectorOps.rhpNearDupPairs(base.unionByName(planted),
+    val found = VectorOps.rhpNearDupPairs(
+        VectorOps.withPlantedTwins(embs, "vec_id", "embedding"),
         "vec_id", "embedding", bits = 32, maxHamming = 3, threshold = 0.95)
-      .filter(col("id_b") === col("id_a") + 1000000L).count()
+      .filter(col("id_b") === col("id_a") + VectorOps.PlantedIdOffset).count()
     assert(found > embs.count() / 2, s"only $found planted pairs detected")
     withH.unpersist()
   }

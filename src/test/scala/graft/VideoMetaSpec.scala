@@ -29,6 +29,17 @@ class VideoMetaSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(meta("RIFFxxxxWAVE not a video".getBytes("US-ASCII")) === None)
     assert(meta(SyntheticVideo.make(1L).take(40)) === None)
     assert(meta(Array.empty[Byte]) === None)
+    // hostile size on a skipped chunk near 2^31 must not wrap the index
+    val hostile = SyntheticVideo.make(1L).clone()
+    hostile(16) = 0xFF.toByte; hostile(17) = 0xFF.toByte
+    hostile(18) = 0xFF.toByte; hostile(19) = 0x7F.toByte // LIST size = 2^31-1
+    hostile(20) = 'x'; hostile(21) = 'x'; hostile(22) = 'x'; hostile(23) = 'x' // not hdrl → skipped
+    assert(meta(hostile) === None)
+    assert(MultimodalOps.demuxVideoFrames(
+      spark.createDataFrame(java.util.List.of(org.apache.spark.sql.Row(hostile)),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("content",
+            org.apache.spark.sql.types.BinaryType)))), "content").count() === 0)
   }
 
   test("demux + JDK JPEG rasterize: every frame decodes at declared dims") {
