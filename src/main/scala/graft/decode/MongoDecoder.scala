@@ -16,7 +16,11 @@ import graft.model.{CdcColumn, CdcSchema, DebeziumEncoding => E}
   * 594-641). Mongo events carry BSON extended JSON *strings* and partial
   * `$set`/`$unset` patches, so this path is typed `mapPartitions` (one
   * Jackson mapper per partition, as the reference does at :531-534) — the
-  * one place the engine deliberately leaves Catalyst expressions.
+  * one place the engine deliberately leaves Catalyst expressions. The
+  * envelope itself is split byte-level first (EnvelopeSlices.parseMongo:
+  * the schema header never reaches Jackson); the mapper only parses the
+  * extended-JSON documents, with the full map walk kept as the fallback
+  * for malformed envelopes so legacy errors are preserved.
   *
   * Semantics replicated:
   *  - op c/r: `payload.after` is a JSON document string → full row;
@@ -55,7 +59,7 @@ object MongoDecoder {
         val mapper = new ObjectMapper()
         it.map { r =>
           val keyStr = new String(r.getAs[Array[Byte]]("key"), "UTF-8")
-          val valueStr = new String(r.getAs[Array[Byte]]("value"), "UTF-8")
+          val valueBytes = r.getAs[Array[Byte]]("value")
           val topic = r.getAs[String]("topic")
           val offset = r.getAs[Long]("offset")
 
@@ -64,20 +68,35 @@ object MongoDecoder {
             sys.error("invalid message: missing key.payload")))
           val key = keyPayload.values.map(String.valueOf).mkString("|")
 
-          val valueMap = asScalaMap(mapper.readValue(valueStr, classOf[java.util.Map[String, Object]]))
-          val payload = asScalaMap(valueMap.getOrElse("payload",
-            sys.error("invalid message: missing value.payload")))
-          val op = payload.getOrElse("op", sys.error("missing op")).asInstanceOf[String]
+          // fast path: byte-level envelope split (the schema header — the
+          // bulk of the bytes — never reaches Jackson); the Jackson map
+          // walk remains as the fallback so malformed envelopes keep
+          // their legacy error behavior
+          val sliced = graft.functions.EnvelopeSlices.parseMongo(valueBytes)
+          val (op, afterStrOpt, patchStrOpt): (String, Option[String], Option[String]) =
+            if (sliced != null) {
+              (sliced.getUTF8String(0).toString,
+                if (sliced.isNullAt(1)) None else Some(sliced.getUTF8String(1).toString),
+                if (sliced.isNullAt(2)) None else Some(sliced.getUTF8String(2).toString))
+            } else {
+              val valueStr = new String(valueBytes, "UTF-8")
+              val valueMap = asScalaMap(mapper.readValue(valueStr, classOf[java.util.Map[String, Object]]))
+              val payload = asScalaMap(valueMap.getOrElse("payload",
+                sys.error("invalid message: missing value.payload")))
+              (payload.getOrElse("op", sys.error("missing op")).asInstanceOf[String],
+                payload.get("after").map(_.asInstanceOf[String]),
+                payload.get("patch").map(_.asInstanceOf[String]))
+            }
 
           val keyMask = scala.collection.mutable.LinkedHashSet[String]()
           val (afterRow, placeholders): (Row, Boolean) = op match {
             case "c" | "r" =>
               val doc = asScalaMap(mapper.readValue(
-                payload.getOrElse("after", sys.error("missing after")).asInstanceOf[String],
+                afterStrOpt.getOrElse(sys.error("missing after")),
                 classOf[java.util.Map[String, Object]]))
               (buildRow(cols, doc, topic, offset, placeholders = false), false)
             case "u" =>
-              val patchStr = payload.getOrElse("patch", sys.error("missing patch")).asInstanceOf[String]
+              val patchStr = patchStrOpt.getOrElse(sys.error("missing patch"))
               val patchDoc = asScalaMap(mapper.readValue(patchStr, classOf[java.util.Map[String, Object]]))
               var update = scala.collection.mutable.LinkedHashMap[String, Object]()
               patchDoc.get("$set").foreach { s =>

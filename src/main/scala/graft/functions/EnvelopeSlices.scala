@@ -285,4 +285,44 @@ object EnvelopeSlices {
 
   def envelopeSlices(value: Column, wantSchema: Boolean, wantBefore: Boolean): Column =
     toColumn(EnvelopeSlices(toExpression(value), wantSchema, wantBefore))
+
+  /** Mongo-envelope fast path: `payload.after` / `payload.patch` are
+    * JSON STRING values carrying extended-JSON documents. Returns
+    * struct(op, after, patch) with the strings fully unescaped — the
+    * schema header (the bulk of the bytes) never reaches Jackson.
+    * Returns null when the envelope is structurally malformed, `op` is
+    * missing/invalid, or after/patch hold non-string non-null values:
+    * the caller falls back to the full Jackson map path so legacy
+    * error behavior is preserved. JSON-null after/patch read as absent.
+    */
+  def parseMongo(b: Array[Byte]): InternalRow = {
+    if (b == null) return null
+    var op: UTF8String = null
+    var after: UTF8String = null
+    var patch: UTF8String = null
+    var bad = false
+
+    def strVal(vFrom: Int, past: Int): UTF8String =
+      if (b(vFrom) == '"') {
+        val s = decodeString(b, vFrom, past)
+        if (s == null) bad = true // invalid escapes → let Jackson report
+        s
+      } else if (isNullLit(b, vFrom, past)) null
+      else { bad = true; null }
+
+    val payloadWalk = (kF: Int, kT: Int, vFrom: Int) => {
+      val past = skipValue(b, vFrom)
+      if (past != Bad) {
+        if (keyIs(b, kF, kT, "after")) after = strVal(vFrom, past)
+        else if (keyIs(b, kF, kT, "patch")) patch = strVal(vFrom, past)
+        else if (keyIs(b, kF, kT, "op")) op = decodeString(b, vFrom, past)
+      }
+      past
+    }
+    val topWalk = (kF: Int, kT: Int, vFrom: Int) =>
+      if (keyIs(b, kF, kT, "payload")) walkObject(b, vFrom, payloadWalk)
+      else skipValue(b, vFrom)
+    if (walkObject(b, 0, topWalk) == Bad || bad || op == null) return null
+    new GenericInternalRow(Array[Any](op, after, patch))
+  }
 }

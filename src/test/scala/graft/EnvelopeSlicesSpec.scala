@@ -82,6 +82,26 @@ class EnvelopeSlicesSpec extends AnyFunSuite {
     val r = parse("""{"payload":{"op":"c","after":{"t":"héllo 世界 🙂"}}}""")
     assert(r.get._3 === """{"t":"héllo 世界 🙂"}""")
   }
+
+  test("parseMongo: unescapes document strings, falls back on non-string images") {
+    def pm(s: String) = Option(EnvelopeSlices.parseMongo(s.getBytes("UTF-8")))
+      .map { r =>
+        def g(i: Int) = if (r.isNullAt(i)) null else r.getUTF8String(i).toString
+        (g(0), g(1), g(2))
+      }
+    // after/patch carry escaped extended JSON — must come back unescaped
+    assert(pm("""{"schema":{"big":"header"},"payload":{"after":"{\"_id\": {\"$numberLong\": \"7\"}, \"t\": \"a \\\"q\\\"\"}","op":"c"}}""") ===
+      Some(("c", """{"_id": {"$numberLong": "7"}, "t": "a \"q\""}""", null)))
+    assert(pm("""{"payload":{"op":"u","patch":"{\"$set\": {\"x\": 1}}"}}""") ===
+      Some(("u", null, """{"$set": {"x": 1}}""")))
+    // JSON-null images read as absent (delete shape)
+    assert(pm("""{"payload":{"op":"d","after":null}}""") === Some(("d", null, null)))
+    // non-string after (relational-style object) → null: Jackson fallback decides
+    assert(pm("""{"payload":{"op":"c","after":{"a":1}}}""") === None)
+    // structurally malformed / missing op → null
+    assert(pm("""{"payload":{"after":"{}"}}""") === None)
+    assert(pm("not json") === None)
+  }
 }
 
 /** Plan-shape guard for the sliced decode: the slicer and each from_json
