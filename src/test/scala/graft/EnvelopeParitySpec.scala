@@ -51,6 +51,63 @@ class EnvelopeParitySpec extends AnyFunSuite with SparkSessionTestWrapper {
     compare(envs.take(500))
   }
 
+  test("fuzz: slicer agrees with Jackson on 400 random envelopes (seeded)") {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val rnd = new scala.util.Random(42)
+    // whole-codepoint tokens: indexing chars would split 🙂's surrogate
+    // pair into lone surrogates, which UTF8String (hence BOTH decode
+    // paths) normalizes away — not a slicer behavior under test
+    val tokenPool = Seq("a", "b", "\"", "\\", "{", "}", "[", "]", ":", ",",
+      "\n", "\t", " ", "é", "世", "🙂")
+    def randStr(): String =
+      (0 until rnd.nextInt(12)).map(_ => tokenPool(rnd.nextInt(tokenPool.length))).mkString
+    def randValue(depth: Int): Object = rnd.nextInt(if (depth > 2) 4 else 6) match {
+      case 0 => randStr()
+      case 1 => java.lang.Long.valueOf(rnd.nextLong() % 100000)
+      case 2 => java.lang.Boolean.valueOf(rnd.nextBoolean())
+      case 3 => null
+      case 4 =>
+        val m = new java.util.LinkedHashMap[String, Object]()
+        (0 until rnd.nextInt(4)).foreach(_ => m.put(randStr(), randValue(depth + 1)))
+        m
+      case _ =>
+        val l = new java.util.ArrayList[Object]()
+        (0 until rnd.nextInt(4)).foreach(_ => l.add(randValue(depth + 1)))
+        l
+    }
+    for (i <- 0 until 400) {
+      val env = new java.util.LinkedHashMap[String, Object]()
+      val payload = new java.util.LinkedHashMap[String, Object]()
+      if (rnd.nextBoolean()) env.put("schema", randValue(0))
+      payload.put("before", if (rnd.nextBoolean()) null else randValue(1))
+      payload.put("after", randValue(1))
+      val source = new java.util.LinkedHashMap[String, Object]()
+      source.put("connector", randStr())
+      payload.put("source", source)
+      payload.put("op", randStr())
+      env.put("payload", payload)
+      if (rnd.nextBoolean()) env.put(randStr(), randValue(0)) // unknown key
+      val json = mapper.writeValueAsString(env)
+
+      val r = EnvelopeSlices.parse(json.getBytes("UTF-8"), wantSchema = false, wantBefore = true)
+      assert(r != null, s"#$i failed to parse: $json")
+      def slot(idx: Int) = if (r.isNullAt(idx)) null else r.getUTF8String(idx).toString
+      // scalar fields must match Jackson's own decode exactly
+      assert(slot(3) === payload.get("op"), s"#$i op: $json")
+      assert(slot(4) === source.get("connector"), s"#$i connector: $json")
+      // image slices must re-parse to Jackson-identical trees
+      for ((name, idx) <- Seq("before" -> 1, "after" -> 2)) {
+        val expected = payload.get(name)
+        val got = slot(idx)
+        if (expected == null) assert(got == null, s"#$i $name: $json")
+        else assert(mapper.readTree(got).toString ===
+          // canonical text compare: node equality is Int/Long-type-sensitive
+          mapper.valueToTree[com.fasterxml.jackson.databind.JsonNode](expected).toString,
+          s"#$i $name: $json")
+      }
+    }
+  }
+
   test("adversarial payload content decodes identically through both paths") {
     val bs = "\\" // literal backslash
     def env(afterBody: String, op: String = "u"): String =
