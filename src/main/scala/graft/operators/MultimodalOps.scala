@@ -121,6 +121,19 @@ object MultimodalOps {
       finally iis.close()
     }
 
+    /** Decoded pixels via the reused per-format reader; null when the
+      * content can't rasterize (WebP skips the doomed SPI sniff). */
+    def rasterize(bytes: Array[Byte]): java.awt.image.BufferedImage = {
+      if (bytes == null) return null
+      val meta = graft.functions.ImageMeta.parse(bytes)
+      val fmt = if (meta == null) null else meta.getUTF8String(0).toString
+      fmt match {
+        case "png" | "jpeg" => readVia(fmt, bytes)
+        case "webp" => null
+        case _ => readImage(bytes) // generic sniffing fallback (BMP/GIF/…)
+      }
+    }
+
     /** format, width, height, mean_r, mean_g, mean_b for one payload. */
     def decodeOne(bytes: Array[Byte]): Seq[Any] = {
       if (bytes == null) return Seq(null, null, null, null, null, null)
@@ -294,6 +307,56 @@ object MultimodalOps {
       if (next > b.length) p = b.length else p = next.toInt
     }
     Nil
+  }
+
+  /** REAL image embedding: decode the pixels (JDK codec) and emit a
+    * grid×grid×RGB mean-intensity vector, L2-normalized — the classic
+    * color-layout descriptor, ANN-able by VectorOps (cosine / RHP-LSH)
+    * like any other `array<float>` column. Undecodable content → null
+    * vector. Codec init amortized per partition (ImageKernel). */
+  def imageFeatures(df: DataFrame, contentCol: String, grid: Int = 4,
+      outCol: String = "features"): DataFrame = {
+    val outSchema = StructType(df.schema.fields :+
+      StructField(outCol, ArrayType(FloatType, containsNull = false)))
+    implicit val enc = Encoders.row(outSchema)
+    val idx = df.schema.fieldIndex(contentCol)
+    df.mapPartitions { it =>
+      val kernel = new ImageKernel
+      it.map { row =>
+        val img = kernel.rasterize(row.getAs[Array[Byte]](idx))
+        val out: Any = if (img == null) null else {
+          val w = img.getWidth; val h = img.getHeight
+          val px = img.getRGB(0, 0, w, h, null, 0, w)
+          val sums = new Array[Double](grid * grid * 3)
+          val counts = new Array[Long](grid * grid)
+          var y = 0
+          while (y < h) {
+            val gy = y * grid / h
+            var x = 0
+            while (x < w) {
+              val cell = gy * grid + (x * grid / w)
+              val p = px(y * w + x)
+              sums(cell * 3) += (p >> 16) & 0xFF
+              sums(cell * 3 + 1) += (p >> 8) & 0xFF
+              sums(cell * 3 + 2) += p & 0xFF
+              counts(cell) += 1
+              x += 1
+            }
+            y += 1
+          }
+          val v = new Array[Float](grid * grid * 3)
+          var i = 0
+          while (i < v.length) {
+            val n = counts(i / 3)
+            v(i) = if (n == 0) 0f else (sums(i) / n).toFloat
+            i += 1
+          }
+          val norm = math.sqrt(v.map(x => x.toDouble * x).sum) max 1e-12
+          v.map(x => (x / norm).toFloat).toSeq
+        }
+        Row.fromSeq(row.toSeq :+ out)
+      }
+    }
   }
 
   /** Partition-batched feature extraction (the mapInPandas analog):

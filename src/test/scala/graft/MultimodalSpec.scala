@@ -95,6 +95,37 @@ class MultimodalSpec extends AnyFunSuite with SparkSessionTestWrapper {
     }
   }
 
+  test("imageFeatures: real pixel embedding — exact for solid PNG, ANN-compatible") {
+    import graft.functions.SyntheticImage
+    import graft.operators.VectorOps
+    val df = MultimodalOps.imageFeatures(
+      spark.range(0, 60).select(col("id"),
+        SyntheticImage.syntheticImage(col("id")).as("content")), "content", grid = 2)
+    val rows = df.select("id", "features").collect().map(r =>
+      r.getLong(0) -> (if (r.isNullAt(1)) null else r.getSeq[Float](1))).toMap
+    for (id <- 0L until 60L) {
+      val f = rows(id)
+      if (SyntheticImage.isGarbage(id) || id % 5 >= 2) assert(f == null, s"id=$id")
+      else {
+        assert(f.length === 12, s"id=$id") // 2×2 cells × RGB
+        val c = SyntheticImage.rgb(id)
+        val rgb = Array((c >> 16) & 0xFF, (c >> 8) & 0xFF, c & 0xFF).map(_.toDouble)
+        val norm = math.sqrt(rgb.map(x => x * x).sum * 4) max 1e-12
+        if (id % 5 == 0) // PNG lossless: every cell mean is the exact fill
+          f.zipWithIndex.foreach { case (v, i) =>
+            assert(math.abs(v - rgb(i % 3) / norm) < 1e-6, s"id=$id i=$i") }
+        val n2 = math.sqrt(f.map(x => x.toDouble * x).sum)
+        assert(math.abs(n2 - 1.0) < 1e-4, s"id=$id unit norm")
+      }
+    }
+    // the embedding column feeds the ANN operator like any other
+    val emb = df.filter(col("features").isNotNull)
+      .select(col("id").as("vec_id"), col("features").as("embedding"))
+    val topk = VectorOps.cosineTopK(emb, "vec_id", "embedding",
+      emb.limit(3), "vec_id", "embedding", 2)
+    assert(topk.count() === 6)
+  }
+
   test("sampleFrames explodes every Nth chunk with frame indices") {
     val df = MultimodalOps.sampleFrames(assets(5), "content", everyN = 2)
     assert(df.count() > 5)
