@@ -518,6 +518,20 @@ object SparkEntry {
           col("format"), col("width"), col("height"))
     }),
 
+    // rows-only: normalized float32 components are not robustly
+    // hash-comparable across engines (no oracle); MultimodalSpec pins the
+    // EXACT unit vector for lossless solid-fill PNG instead.
+    "mm_image_features" -> ((s, dir) => {
+      import graft.functions.SyntheticImage
+      import graft.operators.MultimodalOps
+      MultimodalOps.imageFeatures(
+        t(s, dir, "documents").select(col("doc_id"),
+          SyntheticImage.syntheticImage(col("doc_id").cast("long")).as("content")),
+        "content", grid = 4)
+        .filter(col("features").isNotNull)
+        .select(col("doc_id"), col("features"))
+    }),
+
     // rows-only: approximate by construction (recall ≥ 0.95 measured in
     // OperatorsScaleSpec against the brute-force oracle).
     // Multi-probe in the regime LSH is FOR — retrieving each vector's

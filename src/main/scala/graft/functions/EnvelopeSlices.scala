@@ -271,6 +271,8 @@ object EnvelopeSlices {
     }
     val topWalk = (kF: Int, kT: Int, vFrom: Int) => {
       if (keyIs(b, kF, kT, "payload")) {
+        // duplicate top-level payload keys: last-wins, like Jackson
+        beforeJson = null; afterJson = null; op = null; connector = null
         walkObject(b, vFrom, payloadWalk)
       } else {
         val past = skipValue(b, vFrom)
@@ -291,10 +293,20 @@ object EnvelopeSlices {
     * struct(op, after, patch) with the strings fully unescaped — the
     * schema header (the bulk of the bytes) never reaches Jackson.
     * Returns null when the envelope is structurally malformed, `op` is
-    * missing/invalid, or after/patch hold non-string non-null values:
-    * the caller falls back to the full Jackson map path so legacy
-    * error behavior is preserved. JSON-null after/patch read as absent.
-    */
+    * missing or not a JSON string, or after/patch hold non-string
+    * non-null values: the caller falls back to the full Jackson map
+    * path so those envelopes keep their legacy errors. JSON-null
+    * after/patch read as absent.
+    *
+    * Two DELIBERATE leniencies vs the legacy whole-envelope parse:
+    * (a) skipped regions (schema header, source, unknown keys) are
+    * validated structurally, not token-by-token — garbage scalars
+    * there no longer fail the batch (the fields the apply actually
+    * consumes are still fully validated, and the document strings
+    * still go through Jackson); (b) unpaired-surrogate `\\uXXXX`
+    * escapes at envelope level normalize to U+FFFD through UTF8String
+    * (invalid Unicode the legacy Java-String path happened to carry
+    * through). */
   def parseMongo(b: Array[Byte]): InternalRow = {
     if (b == null) return null
     var op: UTF8String = null
@@ -315,13 +327,17 @@ object EnvelopeSlices {
       if (past != Bad) {
         if (keyIs(b, kF, kT, "after")) after = strVal(vFrom, past)
         else if (keyIs(b, kF, kT, "patch")) patch = strVal(vFrom, past)
-        else if (keyIs(b, kF, kT, "op")) op = decodeString(b, vFrom, past)
+        else if (keyIs(b, kF, kT, "op")) op = strVal(vFrom, past) // non-string op → fallback (legacy CCE)
       }
       past
     }
     val topWalk = (kF: Int, kT: Int, vFrom: Int) =>
-      if (keyIs(b, kF, kT, "payload")) walkObject(b, vFrom, payloadWalk)
-      else skipValue(b, vFrom)
+      if (keyIs(b, kF, kT, "payload")) {
+        // duplicate top-level payload keys: Jackson keeps the LAST map —
+        // reset so fields never merge across payload objects
+        op = null; after = null; patch = null
+        walkObject(b, vFrom, payloadWalk)
+      } else skipValue(b, vFrom)
     if (walkObject(b, 0, topWalk) == Bad || bad || op == null) return null
     new GenericInternalRow(Array[Any](op, after, patch))
   }

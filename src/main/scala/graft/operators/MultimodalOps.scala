@@ -121,17 +121,22 @@ object MultimodalOps {
       finally iis.close()
     }
 
-    /** Decoded pixels via the reused per-format reader; null when the
-      * content can't rasterize (WebP skips the doomed SPI sniff). */
-    def rasterize(bytes: Array[Byte]): java.awt.image.BufferedImage = {
-      if (bytes == null) return null
-      val meta = graft.functions.ImageMeta.parse(bytes)
-      val fmt = if (meta == null) null else meta.getUTF8String(0).toString
+    /** The one codec-dispatch policy: reuse the per-format reader for
+      * formats the JDK rasterizes, never SPI-sniff recognized WebP (no
+      * JDK rasterizer — the sniff is doomed), generic fallback for
+      * unrecognized content (BMP/GIF/…). */
+    private def rasterizeFmt(fmt: String, bytes: Array[Byte]): java.awt.image.BufferedImage =
       fmt match {
         case "png" | "jpeg" => readVia(fmt, bytes)
         case "webp" => null
-        case _ => readImage(bytes) // generic sniffing fallback (BMP/GIF/…)
+        case _ => readImage(bytes)
       }
+
+    /** Decoded pixels; null when the content can't rasterize. */
+    def rasterize(bytes: Array[Byte]): java.awt.image.BufferedImage = {
+      if (bytes == null) return null
+      val meta = graft.functions.ImageMeta.parse(bytes)
+      rasterizeFmt(if (meta == null) null else meta.getUTF8String(0).toString, bytes)
     }
 
     /** format, width, height, mean_r, mean_g, mean_b for one payload. */
@@ -139,11 +144,7 @@ object MultimodalOps {
       if (bytes == null) return Seq(null, null, null, null, null, null)
       val meta = graft.functions.ImageMeta.parse(bytes)
       val fmt = if (meta == null) null else meta.getUTF8String(0).toString
-      val img = fmt match {
-        case "png" | "jpeg" => readVia(fmt, bytes)
-        case "webp" => null // no JDK rasterizer — skip the doomed SPI sniff
-        case _ => readImage(bytes) // generic sniffing fallback (BMP/GIF/…)
-      }
+      val img = rasterizeFmt(fmt, bytes)
       if (img != null) {
         val (w, h) = (img.getWidth, img.getHeight)
         val px = img.getRGB(0, 0, w, h, null, 0, w)
@@ -316,6 +317,7 @@ object MultimodalOps {
     * vector. Codec init amortized per partition (ImageKernel). */
   def imageFeatures(df: DataFrame, contentCol: String, grid: Int = 4,
       outCol: String = "features"): DataFrame = {
+    require(grid > 0, s"grid must be positive, got $grid")
     val outSchema = StructType(df.schema.fields :+
       StructField(outCol, ArrayType(FloatType, containsNull = false)))
     implicit val enc = Encoders.row(outSchema)

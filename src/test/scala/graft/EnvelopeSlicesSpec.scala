@@ -101,6 +101,20 @@ class EnvelopeSlicesSpec extends AnyFunSuite {
     // structurally malformed / missing op → null
     assert(pm("""{"payload":{"after":"{}"}}""") === None)
     assert(pm("not json") === None)
+    // non-string op → fallback decides (legacy threw ClassCastException)
+    assert(pm("""{"payload":{"op":42,"after":"{}"}}""") === None)
+    // duplicate top-level payload: last map wins, like Jackson — fields
+    // must never merge across the two objects (after from #1 + op from #2
+    // would fabricate an insert legacy rejected with "missing after")
+    assert(pm("""{"payload":{"after":"{\"a\":1}"},"payload":{"op":"c"}}""") ===
+      Some(("c", null, null)))
+    assert(pm("""{"payload":{"op":"d"},"payload":{"op":"c","after":"{}"}}""") ===
+      Some(("c", "{}", null)))
+  }
+
+  test("duplicate top-level payload keys: last wins on the relational path too") {
+    assert(parse("""{"payload":{"op":"d","before":{"x":1}},"payload":{"op":"c","after":{"a":1}}}""") ===
+      Some((null, null, """{"a":1}""", "c", null)))
   }
 }
 
