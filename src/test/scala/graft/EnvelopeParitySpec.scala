@@ -108,6 +108,33 @@ class EnvelopeParitySpec extends AnyFunSuite with SparkSessionTestWrapper {
     }
   }
 
+  test("fuzz: parseMongo agrees with the Jackson map walk on 300 random envelopes") {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val rnd = new scala.util.Random(7)
+    val tokenPool = Seq("a", "b", "\"", "\\", "{", "}", "[", "]", ":", ",",
+      "\n", "\t", " ", "é", "世", "🙂", "$set", "_id")
+    def randStr(): String =
+      (0 until rnd.nextInt(10)).map(_ => tokenPool(rnd.nextInt(tokenPool.length))).mkString
+    for (i <- 0 until 300) {
+      val env = new java.util.LinkedHashMap[String, Object]()
+      val payload = new java.util.LinkedHashMap[String, Object]()
+      if (rnd.nextBoolean()) env.put("schema", randStr())
+      // Mongo images are STRING values (extended-JSON documents)
+      if (rnd.nextBoolean()) payload.put("after", randStr())
+      if (rnd.nextBoolean()) payload.put("patch", randStr())
+      payload.put("op", randStr())
+      env.put("payload", payload)
+      val bytes = mapper.writeValueAsString(env).getBytes("UTF-8")
+
+      val r = EnvelopeSlices.parseMongo(bytes)
+      assert(r != null, s"#$i: ${new String(bytes, "UTF-8")}")
+      def slot(idx: Int) = if (r.isNullAt(idx)) null else r.getUTF8String(idx).toString
+      assert(slot(0) === payload.get("op"), s"#$i op")
+      assert(slot(1) === payload.get("after"), s"#$i after")
+      assert(slot(2) === payload.get("patch"), s"#$i patch")
+    }
+  }
+
   test("adversarial payload content decodes identically through both paths") {
     val bs = "\\" // literal backslash
     def env(afterBody: String, op: String = "u"): String =
