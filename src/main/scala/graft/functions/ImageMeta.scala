@@ -9,8 +9,9 @@ import org.apache.spark.sql.types.{BinaryType, DataType, IntegerType, StringType
 import org.apache.spark.unsafe.types.UTF8String
 
 /** REAL image-format metadata decode — format + pixel dimensions parsed
-  * from actual PNG / JPEG / WebP bytes with pure byte logic (no codec
-  * library): PNG IHDR, JPEG SOF0–SOF15 segment scan, WebP VP8 (lossy
+  * from actual PNG / JPEG / GIF / BMP / WebP bytes with pure byte logic
+  * (no codec library): PNG IHDR, JPEG SOF0–SOF15 segment scan, GIF
+  * logical screen descriptor, BMP BITMAPINFOHEADER, WebP VP8 (lossy
   * frame tag) / VP8L (lossless bitstream) / VP8X (extended canvas).
   * Returns null for unrecognized or truncated content — multimodal
   * training-data columns routinely carry garbage, and a decode stage
@@ -100,6 +101,15 @@ object ImageMeta {
         }
       }
       return null
+    }
+    // ---- GIF: "GIF87a"/"GIF89a" then LE16 logical-screen dims
+    if (b(0) == 'G' && b(1) == 'I' && b(2) == 'F' && b(3) == '8' &&
+        (b(4) == '7' || b(4) == '9') && b(5) == 'a') {
+      return row("gif", le16(b, 6), le16(b, 8))
+    }
+    // ---- BMP: "BM" + BITMAPINFOHEADER at 14 (biHeight<0 = top-down)
+    if (b(0) == 'B' && b(1) == 'M' && b.length >= 26) {
+      return row("bmp", le32(b, 18).toInt, math.abs(le32(b, 22).toInt))
     }
     // ---- WebP: RIFF container, first chunk VP8 / VP8L / VP8X
     if (b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&

@@ -127,7 +127,7 @@ object MultimodalOps {
       * unrecognized content (BMP/GIF/…). */
     private def rasterizeFmt(fmt: String, bytes: Array[Byte]): java.awt.image.BufferedImage =
       fmt match {
-        case "png" | "jpeg" => readVia(fmt, bytes)
+        case "png" | "jpeg" | "gif" | "bmp" => readVia(fmt, bytes)
         case "webp" => null
         case _ => readImage(bytes)
       }
@@ -233,21 +233,29 @@ object MultimodalOps {
 
   private def decodeAudioOne(bytes: Array[Byte]): Seq[Any] = {
     if (bytes == null) return Seq.fill[Any](8)(null)
-    val in =
-      try javax.sound.sampled.AudioSystem.getAudioInputStream(
-        new java.io.ByteArrayInputStream(bytes))
-      catch { case _: Exception => null } // non-audio classifies, never throws
+    val (fmtName, in) =
+      try {
+        val bais = new java.io.ByteArrayInputStream(bytes)
+        // real container type from the codec's own sniffing (wav/aif/au)
+        val name = javax.sound.sampled.AudioSystem.getAudioFileFormat(bais)
+          .getType.getExtension
+        bais.reset()
+        (name, javax.sound.sampled.AudioSystem.getAudioInputStream(bais))
+      } catch { case _: Exception => (null, null) } // non-audio classifies, never throws
     if (in == null) return Seq.fill[Any](8)(null)
     val f = in.getFormat
-    val meta = Seq[Any]("wav", f.getChannels, f.getSampleRate.toInt,
+    val meta = Seq[Any](fmtName, f.getChannels, f.getSampleRate.toInt,
       f.getSampleSizeInBits, in.getFrameLength)
-    if (f.getSampleSizeInBits == 16 && !f.isBigEndian &&
+    // 16-bit signed PCM in either byte order (WAV little, AIFF big)
+    if (f.getSampleSizeInBits == 16 &&
         f.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED) {
       val pcm = in.readAllBytes()
       val n = pcm.length / 2
       var sum = 0L; var sumSq = 0L; var peak = 0; var i = 0
       while (i < n) {
-        val v = ((pcm(2 * i) & 0xFF) | (pcm(2 * i + 1) << 8)).toShort.toInt
+        val v =
+          if (f.isBigEndian) ((pcm(2 * i) << 8) | (pcm(2 * i + 1) & 0xFF)).toShort.toInt
+          else ((pcm(2 * i) & 0xFF) | (pcm(2 * i + 1) << 8)).toShort.toInt
         sum += v; sumSq += v.toLong * v
         if (math.abs(v) > peak) peak = math.abs(v)
         i += 1

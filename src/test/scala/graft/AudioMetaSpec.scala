@@ -71,6 +71,30 @@ class AudioMetaSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(bad.count() === 0)
   }
 
+  test("decodeAudio: AIFF (big-endian) decodes with the real container label and exact stats") {
+    val amp: Short = 1234
+    val pcm = new Array[Byte](300 * 2)
+    for (i <- 0 until 300) { // big-endian samples for the AIFF writer
+      pcm(2 * i) = ((amp >> 8) & 0xFF).toByte; pcm(2 * i + 1) = (amp & 0xFF).toByte
+    }
+    val fmt = new AudioFormat(8000f, 16, 1, true, true)
+    val bos = new ByteArrayOutputStream()
+    AudioSystem.write(
+      new AudioInputStream(new ByteArrayInputStream(pcm), fmt, 300L),
+      AudioFileFormat.Type.AIFF, bos)
+    val df = MultimodalOps.decodeAudio(
+      spark.createDataFrame(
+        java.util.List.of(org.apache.spark.sql.Row(bos.toByteArray)),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("content",
+            org.apache.spark.sql.types.BinaryType)))), "content")
+    val r = df.select("format", "channels", "sample_rate", "n_frames",
+      "mean_amp", "rms_amp", "peak_amp").head()
+    assert(r.getString(0) === "aif")
+    assert(r.getInt(1) === 1 && r.getInt(2) === 8000 && r.getLong(3) === 300L)
+    assert(r.getDouble(4) === 1234.0 && r.getDouble(5) === 1234.0 && r.getInt(6) === 1234)
+  }
+
   test("decodeAudio: real JDK PCM decode — exact mean/RMS/peak, garbage null") {
     val df = MultimodalOps.decodeAudio(
       spark.range(0, 90).select(col("id"),

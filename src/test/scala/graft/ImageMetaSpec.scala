@@ -34,6 +34,32 @@ class ImageMetaSpec extends AnyFunSuite with SparkSessionTestWrapper {
     }
   }
 
+  test("parses real JDK-encoded GIF and BMP, and decodeImage rasterizes them exactly") {
+    for ((w, h) <- Seq((9, 13), (300, 41))) {
+      assert(dims(encode("gif", w, h)) === Some(("gif", w, h)))
+      assert(dims(encode("bmp", w, h)) === Some(("bmp", w, h)))
+    }
+    // both are lossless for a solid fill → exact pixel means end to end
+    import graft.operators.MultimodalOps
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{BinaryType, StructField, StructType}
+    def solid(fmt: String): Array[Byte] = {
+      val img = new BufferedImage(12, 8, BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 8; x <- 0 until 12) img.setRGB(x, y, 0x3366CC)
+      val bos = new ByteArrayOutputStream()
+      assert(ImageIO.write(img, fmt, bos)); bos.toByteArray
+    }
+    val df = spark.createDataFrame(
+      java.util.List.of(Row(solid("gif")), Row(solid("bmp"))),
+      StructType(Seq(StructField("content", BinaryType))))
+    val rows = MultimodalOps.decodeImage(df, "content")
+      .select("format", "width", "height", "mean_r", "mean_g", "mean_b")
+      .collect().map(r => r.getString(0) ->
+        (r.getInt(1), r.getInt(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))).toMap
+    assert(rows("gif") === ((12, 8, 0x33.toDouble, 0x66.toDouble, 0xCC.toDouble)))
+    assert(rows("bmp") === ((12, 8, 0x33.toDouble, 0x66.toDouble, 0xCC.toDouble)))
+  }
+
   test("JPEG segment walk skips COM/DQT/DHT and reads progressive SOF2") {
     def seg(marker: Int, body: Array[Byte]): Array[Byte] =
       Array[Byte](0xFF.toByte, marker.toByte,
