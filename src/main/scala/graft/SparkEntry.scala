@@ -6,9 +6,9 @@ import org.apache.spark.sql.expressions.Window
 
 import graft.apply.CdcApply
 import graft.decode.{DecodeOptions, EnvelopeDecoder}
-import graft.model.{CdcColumn, CdcSchema}
+import graft.model.{CdcColumn, CdcSchema, DebeziumEncoding => E}
 import graft.operators.{AsOfJoin, ChangeLog, DedupOps, TextOps, VectorOps}
-import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType, StringType}
+import org.apache.spark.sql.types.{DecimalType, DoubleType, IntegerType, LongType, StringType, TimestampType}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -91,6 +91,115 @@ object SparkEntry {
     val del = ev(c.filter(col("c_custkey") % 7 === 0),
       when(col("c_custkey") % 3 === 0, rev2).otherwise(orig), nul, "d", 20000000L)
     (base, upd.unionByName(del))
+  }
+
+  private val mongoCustomerCdcSchema = CdcSchema(Seq(
+    CdcColumn("_id", StringType, nullable = false, keyPart = true),
+    CdcColumn("c_name", StringType, nullable = false),
+    CdcColumn("c_nationkey", IntegerType, nullable = false),
+    CdcColumn("c_acctbal", DoubleType, nullable = false),
+    CdcColumn("c_mktsegment", StringType, nullable = true))) // nullable: $unset target
+
+  /** Deterministic MongoDB-flavor workload over the customer table
+    * (reference envelope shape, MongoDBDebeziumTransformSuite.scala:
+    * 253-447): batch 0 inserts every doc; batch 1 layers, in offset
+    * order, a `$set` patch (custkey%3), a full-replace patch document
+    * (custkey%4), a `$unset` patch (custkey%5) and a delete (custkey%7) —
+    * so keys hit by several events exercise in-batch patch-chain
+    * composition (mongoStrictDeltas) and the rest exercise PATCH deltas
+    * folded on read (PatchFoldBySeq) through the merge-on-read lake. */
+  private def mongoCustomerEnvelopes(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val c = t(s, dir, "customer")
+    val k = col("c_custkey")
+    val idStr = concat(lit("cust-"), k.cast("string"))
+    def keyJson = to_json(struct(struct(idStr.as("id")).as("payload"))).cast("binary").as("key")
+    val nulS = lit(null).cast("string")
+    def ev(df: DataFrame, after: Column, patch: Column, op: String, offBase: Long) =
+      df.select(keyJson,
+        to_json(struct(struct(
+          after.as("after"), patch.as("patch"),
+          struct(lit("mongodb").as("connector")).as("source"),
+          lit(op).as("op")).as("payload"))).cast("binary").as("value"),
+        lit("cdc.mongo.customer").as("topic"), lit(0).as("partition"),
+        (k + offBase).as("offset"))
+    // documents travel as extended-JSON STRINGS inside the envelope
+    val insertDoc = to_json(struct(idStr.as("_id"), col("c_name"),
+      col("c_nationkey"), col("c_acctbal"), col("c_mktsegment")))
+    val replaceDoc = to_json(struct(idStr.as("_id"),
+      concat(lit("replaced "), k.cast("string")).as("c_name"),
+      (k % 25).cast("int").as("c_nationkey"),
+      (k.cast("double") / 100.0).as("c_acctbal"),
+      lit("MONGO").as("c_mktsegment")))
+    val setPatch = to_json(struct(
+      struct(concat(col("c_name"), lit(" rev2")).as("c_name")).as("$set")))
+    val unsetPatch = to_json(struct(struct(lit(true).as("c_mktsegment")).as("$unset")))
+    val base = ev(c, insertDoc, nulS, "c", 0L)
+    val b1 = ev(c.filter(k % 3 === 0), nulS, setPatch, "u", 10000000L)
+      .unionByName(ev(c.filter(k % 4 === 0), nulS, replaceDoc, "u", 11000000L))
+      .unionByName(ev(c.filter(k % 5 === 0), nulS, unsetPatch, "u", 12000000L))
+      .unionByName(ev(c.filter(k % 7 === 0), nulS, nulS, "d", 20000000L))
+    (base, b1)
+  }
+
+  /** Postgres-flavor schema exercising the per-message dispatch paths:
+    * upper-case declared names (message fields arrive lower-cased,
+    * reference DebeziumTransform.scala:243,273-287), bytes-encoded
+    * decimal with the scale taken from the message's own `parameters`
+    * (reference :334-341), and per-message timestamp logical-type
+    * dispatch (MicroTimestamp numeric / ZonedTimestamp numeric / ISO
+    * string — reference :396-438). */
+  private val pgTypesCdcSchema = CdcSchema(Seq(
+    CdcColumn("Order_Id", LongType, nullable = false, keyPart = true),
+    CdcColumn("Price", DecimalType(12, 2), nullable = false, E.DecimalMessage),
+    CdcColumn("Created_At", TimestampType, nullable = false, E.TimestampMessage),
+    CdcColumn("Updated_At", TimestampType, nullable = true, E.TimestampMessage),
+    CdcColumn("Note", StringType, nullable = true)))
+
+  /** One envelope per customer key, with a real per-message `schema`
+    * section. Even keys carry `Updated_At` as an ISO string
+    * (ZonedTimestamp's usual wire form); odd keys carry int64 micros with
+    * name io.debezium.time.ZonedTimestamp — both must decode to the same
+    * instant. `Price` arrives as base64 two's-complement unscaled bytes
+    * at MESSAGE scale 3 (declared scale 2, exercising the re-scale). */
+  private def pgTypesEnvelopes(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.{ArrayType, MapType, StructType, StructField}
+    val c = t(s, dir, "customer")
+    val k = col("c_custkey")
+    def keyJson = to_json(struct(struct(k.as("order_id")).as("payload"))).cast("binary").as("key")
+    val noParams = lit(null).cast(MapType(StringType, StringType))
+    def desc(field: String, tpe: String, name: Column, params: Column) =
+      struct(lit(field).as("field"), lit(tpe).as("type"),
+        name.as("name"), params.as("parameters"))
+    def schemaSection(updType: String, updName: String) =
+      struct(array(struct(lit("after").as("field"), array(
+        desc("price", "bytes", lit("org.apache.kafka.connect.data.Decimal"),
+          map(lit("scale"), lit("3"))),
+        desc("created_at", "int64", lit("io.debezium.time.MicroTimestamp"), noParams),
+        desc("updated_at", updType, lit(updName).cast("string"), noParams)
+      ).as("fields"))).as("fields"))
+    // unscaled bytes at scale 3: value = custkey + 0.250 (divisible by 10
+    // so the declared-scale(2) re-scale is exact); < 2^31 keeps the
+    // 4-byte big-endian form positive two's-complement
+    val priceB64 = base64(unhex(lpad(hex(k * 1000 + 250), 8, "0")))
+    val createdMicros = lit(1700000000000000L) + k * 1000000L
+    val updatedMs = lit(1700000000000L) + k * 777000L
+    def env(updatedAt: Column, updType: String, updName: String, rows: DataFrame) =
+      rows.select(keyJson,
+        to_json(struct(
+          schemaSection(updType, updName).as("schema"),
+          struct(struct(
+            k.as("order_id"), priceB64.as("price"),
+            createdMicros.as("created_at"), updatedAt.as("updated_at"),
+            when(k % 3 === 0, lit(null).cast("string"))
+              .otherwise(concat(lit("note-"), k.cast("string"))).as("note")).as("after"),
+            struct(lit("postgresql").as("connector")).as("source"),
+            lit("c").as("op")).as("payload"))).cast("binary").as("value"),
+        lit("cdc.pg.orders").as("topic"), lit(0).as("partition"), k.as("offset"))
+    val iso = env(date_format(timestamp_millis(updatedMs), "yyyy-MM-dd HH:mm:ss"),
+      "string", "io.debezium.time.ZonedTimestamp", c.filter(k % 2 === 0))
+    val numeric = env(updatedMs * 1000L, "int64", "io.debezium.time.ZonedTimestamp",
+      c.filter(k % 2 === 1))
+    iso.unionByName(numeric)
   }
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
@@ -183,10 +292,15 @@ object SparkEntry {
       pipe.processBatch(base, 0L)
       pipe.processBatch(upd.unionByName(del), 1L)
       table.compact()
+      // maintenance ops in the judged chain: redistribute 16 → 8 buckets
+      // (rebucket rewrites every base file on the new key routing), then
+      // expire + vacuum must leave exactly the live files; the final read
+      // goes through the rebucketed layout and column projection
+      table.rebucket(8)
       table.expireSnapshots(keepLast = 1)
       table.vacuum()
-      table.read()
-        .select("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment", "_offset")
+      table.readColumns(Seq(
+        "c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment", "_offset"))
     }),
     "cdc_strict_roundtrip" -> ((s, dir) => {
       // STRICT path inside the gate: decode with before-images + null-shape
@@ -205,6 +319,41 @@ object SparkEntry {
       }
       table.read()
         .select("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment", "_offset")
+    }),
+
+    "cdc_mongo_roundtrip" -> ((s, dir) => {
+      // MONGO connector inside the gate: extended-JSON envelopes →
+      // MongoDecoder (byte-sliced + Jackson documents) → in-batch patch
+      // chain composition (mongoStrictDeltas) → merge-on-read lake with
+      // presence preconditions; final state read back through
+      // PatchFoldBySeq reconstruction (no compaction — the PATCH deltas
+      // stay deltas so the read-side fold is what's being gated).
+      val (batch0, batch1) = mongoCustomerEnvelopes(s, dir)
+      val tmp = java.nio.file.Files.createTempDirectory("lake-mongo-gate").toString
+      val table = new graft.lake.LakeTable(s, tmp)
+      table.create(mongoCustomerCdcSchema.structType,
+        mongoCustomerCdcSchema.keyNames, nBuckets = 16)
+      val pipe = new graft.streaming.CdcPipeline(s, mongoCustomerCdcSchema, table,
+        DecodeOptions(strict = true, validate = true, connector = Some("mongodb")),
+        "gate-mongo", mergeOnRead = true, autoCompact = 0)
+      pipe.processBatch(batch0, 0L)
+      pipe.processBatch(batch1, 1L)
+      table.read()
+        .select("_id", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment", "_offset")
+    }),
+    "cdc_pg_types" -> ((s, dir) => {
+      // POSTGRES decode fidelity inside the gate: case folding +
+      // per-message decimal scale + per-message timestamp logical-type
+      // dispatch, all through DecodeOptions(connector=postgresql).
+      val events = EnvelopeDecoder.decodeRelational(
+        pgTypesEnvelopes(s, dir), pgTypesCdcSchema,
+        DecodeOptions(strict = false, validate = true, connector = Some("postgresql")))
+      CdcApply.applyNonStrict(events)
+        .select(col("Order_Id").as("order_id"),
+          col("Price").cast("double").as("price"),
+          col("Created_At").as("created_at"),
+          col("Updated_At").as("updated_at"),
+          col("Note").as("note"), col("_offset"))
     }),
 
     // ---- relational coverage: agg/join/window/sort/setops/scalar ----
@@ -518,18 +667,39 @@ object SparkEntry {
           col("format"), col("width"), col("height"))
     }),
 
-    // rows-only: normalized float32 components are not robustly
-    // hash-comparable across engines (no oracle); MultimodalSpec pins the
-    // EXACT unit vector for lossless solid-fill PNG instead.
+    // VALUE-EXACT multimodal embedding gate: a solid-fill PNG decodes
+    // losslessly, so its 48-dim color-layout descriptor is (r,g,b)/norm
+    // repeated over all 16 grid cells — exactly predictable from the id
+    // formulas. The gate projects pandas-sortable scalars (the raw
+    // array<float> column crashes the driver's sort): vector length, the
+    // three distinct normalized components (identical double→float32
+    // arithmetic on both engines, compared through DECIMAL(18,6)), and a
+    // uniformity witness that all 48 components are those three values.
+    // The floats are compared as exact doubles, NOT through DECIMAL
+    // rounding: both engines run the same IEEE chain (exact integer
+    // sums → correctly-rounded sqrt/divide → round-to-float32) so the
+    // bit patterns match, whereas DuckDB's float→decimal cast multiplies
+    // in float32 and flips ~3% of last digits at the rounding boundary.
+    // JPEG rows are lossy → value-gated by MultimodalSpec's tolerance
+    // instead; the full exact float32 vector is also spec-pinned there.
     "mm_image_features" -> ((s, dir) => {
       import graft.functions.SyntheticImage
       import graft.operators.MultimodalOps
+      val png = pmod(col("doc_id"), lit(5)) === 0
+      def fdbl(c: Column): Column = c.cast("double")
       MultimodalOps.imageFeatures(
         t(s, dir, "documents").select(col("doc_id"),
           SyntheticImage.syntheticImage(col("doc_id").cast("long")).as("content")),
         "content", grid = 4)
         .filter(col("features").isNotNull)
-        .select(col("doc_id"), col("features"))
+        .select(col("doc_id"),
+          size(col("features")).as("n_features"),
+          when(png, fdbl(element_at(col("features"), 1))).as("f_r"),
+          when(png, fdbl(element_at(col("features"), 2))).as("f_g"),
+          when(png, fdbl(element_at(col("features"), 3))).as("f_b"),
+          // non-nullable on purpose: a nullable BOOLEAN renders NaN in
+          // DuckDB's pandas frame vs None in Spark's and fails compare
+          (png && size(array_distinct(col("features"))) <= 3).as("png_uniform"))
     }),
 
     // rows-only: approximate by construction (recall ≥ 0.95 measured in
@@ -542,10 +712,18 @@ object SparkEntry {
     // (12 bits, 2 tables, Hamming-1 probes) holds recall ≈ 0.99 at ~1% of
     // the pairs — 78× fewer candidates / 10× wall time vs the 16-table
     // config at sf0.1 (BENCH.md).
+    // SELF-EVIDENCING rows-only gate: only rows whose retrieved top-1 IS
+    // the planted twin survive, so the judged row count alone measures
+    // recall — corpus = 2N vectors (N base + N twins), every vector's
+    // true nearest neighbor is its twin (cos ≈ 0.99), hence
+    // rows / (2N) = recall@1 (≥ 0.95 also asserted in OperatorsScaleSpec
+    // against the brute-force oracle). sf0.01: N=500 ⇒ ≥950 rows green.
     "ann_lsh" -> ((s, dir) => {
       VectorOps.annLshTopK(
         VectorOps.withPlantedTwins(t(s, dir, "embeddings"), "vec_id", "embedding"),
         "vec_id", "embedding", k = 1, bits = 12, tables = 2, probeHamming = 1)
+        .filter(abs(col("neighbor_id") - col("query_id")) === VectorOps.PlantedIdOffset)
+        .select(col("query_id"), col("neighbor_id"), lit(true).as("found_twin"))
     }),
   )
 
@@ -736,6 +914,41 @@ object SparkEntry {
         |  c_nationkey, c_acctbal, c_mktsegment,
         |  CASE WHEN c_custkey % 3 = 0 THEN c_custkey + 10000000 ELSE c_custkey END AS _offset
         |FROM customer WHERE c_custkey % 7 <> 0""".stripMargin,
+    "cdc_mongo_roundtrip" ->
+      // final doc state after composing, in offset order per key:
+      // c(k) → $set c_name (k%3, +10M) → full replace (k%4, +11M) →
+      // $unset c_mktsegment (k%5, +12M) → d (k%7, +20M); `_offset`
+      // lineage tracks the LAST event that touched the row
+      """SELECT 'cust-' || c_custkey AS _id,
+        |  CASE WHEN c_custkey % 4 = 0 THEN 'replaced ' || c_custkey
+        |       WHEN c_custkey % 3 = 0 THEN c_name || ' rev2'
+        |       ELSE c_name END AS c_name,
+        |  CASE WHEN c_custkey % 4 = 0 THEN CAST(c_custkey % 25 AS INT)
+        |       ELSE c_nationkey END AS c_nationkey,
+        |  CASE WHEN c_custkey % 4 = 0 THEN CAST(c_custkey AS DOUBLE) / 100
+        |       ELSE c_acctbal END AS c_acctbal,
+        |  CASE WHEN c_custkey % 5 = 0 THEN NULL
+        |       WHEN c_custkey % 4 = 0 THEN 'MONGO'
+        |       ELSE c_mktsegment END AS c_mktsegment,
+        |  CAST(CASE WHEN c_custkey % 5 = 0 THEN c_custkey + 12000000
+        |       WHEN c_custkey % 4 = 0 THEN c_custkey + 11000000
+        |       WHEN c_custkey % 3 = 0 THEN c_custkey + 10000000
+        |       ELSE c_custkey END AS BIGINT) AS _offset
+        |FROM customer WHERE c_custkey % 7 <> 0""".stripMargin,
+    "cdc_pg_types" ->
+      // decode-fidelity expectations recomputed from the generator
+      // formulas: price = unscaled(k*1000+250) at message scale 3 →
+      // k + 0.25; created_at = micros truncated to millis; updated_at =
+      // the same instant through both wire forms (ISO string / int64
+      // micros named ZonedTimestamp)
+      """SELECT c_custkey AS order_id,
+        |  CAST(c_custkey AS DOUBLE) + 0.25 AS price,
+        |  make_timestamp((1700000000000 + c_custkey * 1000) * 1000) AS created_at,
+        |  make_timestamp((1700000000000 + c_custkey * 777000) * 1000) AS updated_at,
+        |  CASE WHEN c_custkey % 3 = 0 THEN NULL
+        |       ELSE 'note-' || c_custkey END AS note,
+        |  CAST(c_custkey AS BIGINT) AS _offset
+        |FROM customer""".stripMargin,
     "doc_minhash_lsh" ->
       DedupOps.minHashPortableOracleSql("documents", "doc_id",
         shingleN = 5, numHashes = 16, threshold = 0.8),
@@ -839,6 +1052,30 @@ object SparkEntry {
         |  CAST(8 + (doc_id * 37) % 120 AS INT) AS width,
         |  CAST(8 + (doc_id * 53) % 120 AS INT) AS height
         |FROM documents WHERE doc_id % 7 <> 0""".stripMargin,
+    "mm_image_features" ->
+      // lossless-PNG descriptor recomputed from the id formulas: solid
+      // fill ⇒ every cell mean is exactly (r,g,b); norm = 4*sqrt(r²+g²+b²)
+      // in exact double arithmetic; the same correctly-rounded IEEE
+      // sqrt/divide + double→float32 rounding on both engines makes the
+      // float bit patterns identical, so they compare as exact doubles
+      // (decimal rounding would NOT be safe: DuckDB's float→decimal cast
+      // multiplies in float32 and flips last digits at the boundary).
+      """WITH f AS (
+        |  SELECT doc_id, CAST((doc_id * 2654435761) % 16777216 AS BIGINT) AS rgb
+        |  FROM documents WHERE doc_id % 7 <> 0 AND doc_id % 5 IN (0, 1)
+        |), c AS (
+        |  SELECT doc_id, doc_id % 5 = 0 AS is_png,
+        |    CAST((rgb // 65536) % 256 AS DOUBLE) AS r,
+        |    CAST((rgb // 256) % 256 AS DOUBLE) AS g,
+        |    CAST(rgb % 256 AS DOUBLE) AS b
+        |  FROM f
+        |)
+        |SELECT doc_id, CAST(48 AS INT) AS n_features,
+        |  CASE WHEN is_png THEN CAST(CAST(r / GREATEST(sqrt(16*(r*r+g*g+b*b)), 1e-12) AS FLOAT) AS DOUBLE) END AS f_r,
+        |  CASE WHEN is_png THEN CAST(CAST(g / GREATEST(sqrt(16*(r*r+g*g+b*b)), 1e-12) AS FLOAT) AS DOUBLE) END AS f_g,
+        |  CASE WHEN is_png THEN CAST(CAST(b / GREATEST(sqrt(16*(r*r+g*g+b*b)), 1e-12) AS FLOAT) AS DOUBLE) END AS f_b,
+        |  is_png AS png_uniform
+        |FROM c""".stripMargin,
     "emb_dup_lsh" ->
       VectorOps.rhpNearDupPlantedOracleSql("embeddings", "vec_id", "embedding",
         bits = 32, maxHamming = 3, threshold = 0.95),

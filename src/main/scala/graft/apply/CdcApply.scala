@@ -1,6 +1,6 @@
 package graft.apply
 
-import org.apache.spark.sql.{DataFrame, Encoders, Row}
+import org.apache.spark.sql.{Column, DataFrame, Encoders, Row}
 import org.apache.spark.sql.functions._
 
 import graft.model.CdcSchema
@@ -87,41 +87,64 @@ object CdcApply {
     * row; use applyStrict + withInitialState for Mongo).
     */
   def strictDeltas(events: DataFrame, schema: CdcSchema): DataFrame = {
-    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.expressions.Window
     val payloadType = schema.structType
     val keyNames = schema.keyNames
     val payloadNames = payloadType.fieldNames.filterNot(keyNames.contains).toSeq
-    val outSchema = StructType(
-      schema.keyColumns.map(c => StructField(c.name, c.dataType, c.nullable)) ++
-      payloadNames.map(n => payloadType(payloadType.fieldIndex(n)).copy(nullable = true)) ++
-      Seq(StructField("operation", StringType, nullable = false),
-        StructField("offset", LongType, nullable = false),
-        StructField("n_events", LongType, nullable = false),
-        StructField("_first_op", StringType, nullable = false),
-        StructField("_first_before", payloadType, nullable = true)))
-    implicit val enc = Encoders.row(outSchema)
-    val keyIdxInPayload = keyNames.map(payloadType.fieldIndex)
-    val payloadIdx = payloadNames.map(payloadType.fieldIndex)
+    // row-image comparison drops the trailing `_offset` lineage field
+    // (the reference's `dropRight(1)`, DebeziumTransform.scala:483)
+    val imgFields = payloadType.fieldNames.dropRight(1).toSeq
+    def img(c: Column): Column = struct(imgFields.map(f => c.getField(f).as(f)): _*)
 
-    events.groupByKey(_.getString(IKey))(Encoders.STRING)
-      .flatMapGroups { (key: String, it: Iterator[Row]) =>
-        val evs = it.toArray.sortBy(_.getLong(IOffset))
-        validateTransitions(key, evs) // in-batch adjacent-pair checks
-        val first = evs.head
-        val last = evs.last
-        val lastOp = last.getString(IOperation)
-        // typed key values from the pk struct (present even for deletes)
-        val pk = last.getStruct(IPk)
-        val payload: Seq[Any] =
-          if (last.isNullAt(IAfter)) Seq.fill(payloadIdx.length)(null)
-          else { val a = last.getStruct(IAfter); payloadIdx.map(a.get) }
-        val firstBefore =
-          if (first.isNullAt(IBefore)) null else first.getStruct(IBefore)
-        Iterator.single(Row.fromSeq(
-          (0 until pk.length).map(pk.get) ++ payload ++
-          Seq(lastOp, last.getLong(IOffset), evs.length.toLong,
-            first.getString(IOperation), firstBefore)))
-      }
+    // DECLARATIVE chain validation (round-3 verdict #2): the former
+    // groupByKey.flatMapGroups was an optimizer-opaque object boundary
+    // with a per-key array sort — the same shape SURVEY §4 criticizes in
+    // the reference. lag(after) over (key, offset) gives each event its
+    // predecessor's after-image; assert_true raises the reference's
+    // messages on a broken chain. The window's hashpartitioning(key) is
+    // reused by the aggregate below, so the whole strict path costs ONE
+    // shuffle + sort, all inside whole-stage codegen.
+    val w = Window.partitionBy(col("key")).orderBy(col("offset"))
+    val prevAfter = lag(col("after"), 1).over(w)
+    val op = col("operation")
+    val offS = col("offset").cast("string")
+    val keyPfx = concat(lit("key '"), col("key"), lit("': "))
+    val check =
+      when(row_number().over(w) === 1, lit(null).cast("string"))
+        .when(op.isin(OpCreate, OpRead), assert_true(prevAfter.isNull,
+          concat(keyPfx, lit("expected previous value to be null for operation 'c'/'r' at offset "), offS)).cast("string"))
+        .when(op.isin(OpUpdate, OpDelete), assert_true(
+          prevAfter.isNotNull && col("before").isNotNull &&
+            (img(prevAfter) <=> img(col("before"))),
+          concat(keyPfx, lit("expected previous value to equal next before value at offset "), offS)).cast("string"))
+        .otherwise(assert_true(lit(false),
+          concat(keyPfx, lit("unknown operation '"), op, lit("'"))).cast("string"))
+
+    import graft.functions.LastByOffset.lastByOffset
+    // `_chk` rides inside the aggregate input structs so column pruning
+    // can never drop it: the asserts evaluate exactly once per event,
+    // where the winner struct is materialized anyway. `_first` reuses
+    // LastByOffset on the negated offset (min_by on a struct would plan
+    // as SortAggregate).
+    val agged = events
+      .select(col("key"), col("offset"), op, col("before"), col("after"),
+        col("pk"), check.as("_chk"))
+      .groupBy(col("key"))
+      .agg(
+        lastByOffset(struct(col("operation"), col("offset"), col("after"),
+          col("pk"), col("_chk")), col("offset")).as("_last"),
+        lastByOffset(struct(col("operation").as("op"),
+          col("before").as("before"), col("_chk").as("chk")),
+          -col("offset")).as("_first"),
+        count(lit(1)).as("n_events"))
+    agged.select(
+      keyNames.map(n => col(s"_last.pk.$n").as(n)) ++
+      payloadNames.map(n => col(s"_last.after.$n").as(n)) ++
+      Seq(col("_last.operation").as("operation"),
+        col("_last.offset").as("offset"),
+        col("n_events"),
+        col("_first.op").as("_first_op"),
+        col("_first.before").as("_first_before")): _*)
   }
 
   /** Mongo strict MERGE-ready deltas: compose each key's in-batch patch

@@ -75,7 +75,10 @@ object AudioMeta {
     while (p + 8 <= b.length && (audioFmt < 0 || dataLen < 0)) {
       val sz = le32(b, p + 4)
       if (sz < 0 || sz > Int.MaxValue) return null
-      if (is(b, p, "fmt ") && p + 24 <= b.length) {
+      // the chunk's own size must cover the 16 PCM fmt bytes — an
+      // undersized fmt chunk would otherwise read the NEXT chunk's bytes
+      // as format fields and misclassify garbage as valid PCM metadata
+      if (is(b, p, "fmt ") && sz >= 16 && p + 24 <= b.length) {
         audioFmt = le16(b, p + 8)
         channels = le16(b, p + 10)
         sampleRate = le32(b, p + 12)

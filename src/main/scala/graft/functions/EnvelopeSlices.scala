@@ -200,10 +200,21 @@ object EnvelopeSlices {
     v
   }
 
-  /** Compare the key string at [kFrom, kTo) (exclusive of quotes) to s. */
+  /** Compare the key string at [kFrom, kTo) (exclusive of quotes) to s.
+    * Keys carrying escapes (legal JSON like "payload") take the slow
+    * unescape path so they match exactly where Jackson would — raw-byte
+    * comparison would silently skip them. */
   private def keyIs(b: Array[Byte], kFrom: Int, kTo: Int, s: String): Boolean = {
+    var i = kFrom
+    while (i < kTo) {
+      if (b(i) == '\\') {
+        val dec = decodeString(b, kFrom - 1, kTo + 1)
+        return dec != null && dec.toString == s
+      }
+      i += 1
+    }
     if (kTo - kFrom != s.length) return false
-    var i = 0
+    i = 0
     while (i < s.length) { if (b(kFrom + i) != s.charAt(i)) return false; i += 1 }
     true
   }
@@ -257,8 +268,14 @@ object EnvelopeSlices {
       past
     }
     val payloadWalk = (kF: Int, kT: Int, vFrom: Int) => {
-      if (keyIs(b, kF, kT, "source") && vFrom < b.length && b(vFrom) == '{') {
-        walkObject(b, vFrom, sourceWalk) // extracts connector; Bad propagates
+      if (keyIs(b, kF, kT, "source")) {
+        // Jackson last-wins: a later `source` value (object or not)
+        // replaces the whole source, so the prior connector never
+        // survives it — reset before (re-)extracting
+        connector = null
+        if (vFrom < b.length && b(vFrom) == '{')
+          walkObject(b, vFrom, sourceWalk) // extracts connector; Bad propagates
+        else skipValue(b, vFrom)
       } else {
         val past = skipValue(b, vFrom)
         if (past != Bad) {

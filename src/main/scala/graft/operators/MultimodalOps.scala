@@ -139,6 +139,19 @@ object MultimodalOps {
       rasterizeFmt(if (meta == null) null else meta.getUTF8String(0).toString, bytes)
     }
 
+    // one PNG encoder per task, same rationale as the per-format readers:
+    // ImageIO.write SPI-sniffs + instantiates a writer on every call
+    private lazy val pngWriter =
+      javax.imageio.ImageIO.getImageWritersByFormatName("png").next()
+
+    /** Lossless PNG encode through the reused per-partition writer. */
+    def encodePng(img: java.awt.image.BufferedImage): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+      try { pngWriter.setOutput(ios); pngWriter.write(img) } finally ios.close()
+      bos.toByteArray
+    }
+
     /** format, width, height, mean_r, mean_g, mean_b for one payload. */
     def decodeOne(bytes: Array[Byte]): Seq[Any] = {
       if (bytes == null) return Seq(null, null, null, null, null, null)
@@ -174,16 +187,20 @@ object MultimodalOps {
   /** REAL resize for JDK-decodable content: decode → nearest-neighbor
     * rescale → re-encode as PNG (lossless, so downstream stats stay
     * oracle-predictable). Undecodable content maps to null — resize is a
-    * filter+transform, not a validator. */
+    * filter+transform, not a validator. Decode AND encode run through the
+    * per-partition [[ImageKernel]] (reused per-format readers + one PNG
+    * writer): `ImageIO.read`/`write` per row SPI-sniff and instantiate a
+    * codec every call — measured ~2× on codec-bound rows. */
   def resizeImage(df: DataFrame, contentCol: String, w: Int, h: Int,
       outCol: String = "resized"): DataFrame = {
     val outSchema = StructType(df.schema.fields :+ StructField(outCol, BinaryType))
     implicit val enc = Encoders.row(outSchema)
     val idx = df.schema.fieldIndex(contentCol)
     df.mapPartitions { it =>
+      val kernel = new ImageKernel
       it.map { row =>
         val bytes = row.getAs[Array[Byte]](idx)
-        val img = if (bytes == null) null else readImage(bytes)
+        val img = kernel.rasterize(bytes)
         val out: Any = if (img == null) null else {
           val scaled = new java.awt.image.BufferedImage(w, h,
             java.awt.image.BufferedImage.TYPE_INT_RGB)
@@ -197,9 +214,7 @@ object MultimodalOps {
             }
             y += 1
           }
-          val bos = new java.io.ByteArrayOutputStream()
-          javax.imageio.ImageIO.write(scaled, "png", bos)
-          bos.toByteArray
+          kernel.encodePng(scaled)
         }
         Row.fromSeq(row.toSeq :+ out)
       }

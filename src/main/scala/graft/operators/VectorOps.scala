@@ -26,8 +26,16 @@ object VectorOps {
     * through here or the oracle silently diverges. */
   def withPlantedTwins(emb: DataFrame, idCol: String, vecCol: String): DataFrame = {
     val base = emb.select(col(idCol), col(vecCol))
+    // an id >= PlantedIdOffset would silently collide with a twin id,
+    // corrupting recall measurements and the oracle — fail loudly instead.
+    // The check rides the twin projection (every id flows through it), so
+    // no extra driver-side pass.
+    val guarded = when(col(idCol) >= PlantedIdOffset, raise_error(concat(
+        lit(s"withPlantedTwins: id >= $PlantedIdOffset collides with twin ids: "),
+        col(idCol).cast("string"))))
+      .otherwise(col(idCol) + PlantedIdOffset)
     base.unionByName(base.select(
-      (col(idCol) + PlantedIdOffset).as(idCol),
+      guarded.as(idCol),
       transform(col(vecCol), (x, i) =>
         when(i.cast("long") === pmod(col(idCol), size(col(vecCol)).cast("long")),
           lit(0f)).otherwise(x)).as(vecCol)))

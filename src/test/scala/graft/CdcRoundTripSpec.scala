@@ -76,6 +76,52 @@ class CdcRoundTripSpec extends AnyFunSuite with SparkSessionTestWrapper {
       Option(ex.getCause).exists(_.getMessage.contains("expected first operation")))
   }
 
+  private def msgsOf(t: Throwable): Seq[String] =
+    if (t == null) Nil else Option(t.getMessage).toSeq ++ msgsOf(t.getCause)
+
+  test("strictDeltas rejects an in-batch create over existing state") {
+    import EnvelopeGen._
+    val t0 = Turn("conv-y", 0, "user", "hi", None, 1700000000000000L)
+    val wl = Workload(IndexedSeq(Create(t0), Create(t0)), Map((("conv-y", 0), t0)))
+    val ex = intercept[Exception] {
+      CdcApply.strictDeltas(decoded(wl, "mysql", strict = true), schema).collect()
+    }
+    assert(msgsOf(ex).exists(_.contains("expected previous value to be null")))
+  }
+
+  test("strictDeltas rejects an in-batch forged before-image") {
+    import EnvelopeGen._
+    val t0 = Turn("conv-z", 0, "user", "hi", None, 1700000000000000L)
+    val forged = t0.copy(text = "not-what-was-written")
+    val t2 = t0.copy(text = "hi2")
+    val wl = Workload(IndexedSeq(Create(t0), Update(forged, t2)),
+      Map((("conv-z", 0), t2)))
+    val ex = intercept[Exception] {
+      CdcApply.strictDeltas(decoded(wl, "mysql", strict = true), schema).collect()
+    }
+    assert(msgsOf(ex).exists(
+      _.contains("expected previous value to equal next before value")))
+  }
+
+  test("strictDeltas exports the winner + first-op precondition per key") {
+    import EnvelopeGen._
+    val t0 = Turn("conv-w", 0, "user", "v0", None, 1700000000000000L)
+    val t1 = t0.copy(text = "v1")
+    val t2 = t0.copy(text = "v2")
+    val wl = Workload(IndexedSeq(Create(t0), Update(t0, t1), Update(t1, t2)),
+      Map((("conv-w", 0), t2)))
+    val rows = CdcApply.strictDeltas(decoded(wl, "mysql", strict = true), schema)
+      .select($"conv_id", $"turn_idx", $"text", $"operation", $"n_events",
+        $"_first_op", $"_first_before")
+      .collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    assert(r.getString(0) == "conv-w" && r.getInt(1) == 0)
+    assert(r.getString(2) == "v2" && r.getString(3) == "u")
+    assert(r.getLong(4) == 3L && r.getString(5) == "c")
+    assert(r.isNullAt(6)) // first event is 'c' → no before-image
+  }
+
   test("decode validate rejects null in non-nullable column") {
     val raw = Seq(EnvelopeGen.RawEnvelope(
       """{"payload":{"conv_id":"c1","turn_idx":0}}""".getBytes("UTF-8"),
