@@ -65,7 +65,17 @@ object DecodeBench {
         DecodeOptions(strict = true, validate = true)))),
       "decode_reduce" -> (() => sink(EnvelopeDecoder.toDeltas(
         EnvelopeDecoder.decodeRelational(raw, schema,
-          DecodeOptions(strict = false, validate = false)), schema))))
+          DecodeOptions(strict = false, validate = false)), schema))),
+      // strict apply stage, declarative (window lag + assert_true +
+      // LastByOffset) vs the pre-round-4 object-mode baseline
+      // (groupByKey.flatMapGroups + per-key sort) — same strict decode in
+      // front of both, so the delta isolates the apply-stage shape
+      "strict_deltas_window" -> (() => sink(graft.apply.CdcApply.strictDeltas(
+        EnvelopeDecoder.decodeRelational(raw, schema,
+          DecodeOptions(strict = true, validate = false)), schema))),
+      "strict_deltas_flatmap" -> (() => sink(graft.apply.CdcApply.strictDeltasFlatMapGroups(
+        EnvelopeDecoder.decodeRelational(raw, schema,
+          DecodeOptions(strict = true, validate = false)), schema))))
 
     val results = stages.map { case (name, body) =>
       name -> (1 to 2).map(_ => time(body())).min

@@ -51,6 +51,12 @@ class AudioMetaSpec extends AnyFunSuite with SparkSessionTestWrapper {
     hostile(16) = 0xFF.toByte; hostile(17) = 0xFF.toByte
     hostile(18) = 0xFF.toByte; hostile(19) = 0x7F.toByte
     assert(meta(hostile) === None)
+    // undersized fmt chunk (sz < 16): the walk must NOT read the next
+    // chunk's bytes as format fields — it skips 8+sz ahead, lands
+    // mid-chunk, and the scan classifies rather than misparsing
+    val tiny = wav.clone()
+    tiny(16) = 4; tiny(17) = 0; tiny(18) = 0; tiny(19) = 0
+    assert(meta(tiny) === None)
   }
 
   test("synthesize→header-decode end to end in whole-stage codegen") {

@@ -112,6 +112,62 @@ class EnvelopeSlicesSpec extends AnyFunSuite {
       Some(("c", "{}", null)))
   }
 
+  test("duplicate or non-object source keys reset connector (Jackson last-wins)") {
+    // later empty source object replaces the whole source → connector null
+    assert(parse(
+      """{"payload":{"op":"c","after":{"a":1},"source":{"connector":"mysql"},"source":{}}}""")
+      .get._5 === null)
+    // later non-object source likewise clears it
+    assert(parse(
+      """{"payload":{"op":"c","after":{"a":1},"source":{"connector":"mysql"},"source":null}}""")
+      .get._5 === null)
+    // and a later source with a connector wins
+    assert(parse(
+      """{"payload":{"op":"c","source":{"connector":"mysql"},"source":{"connector":"oracle"}}}""")
+      .get._5 === "oracle")
+  }
+
+  test("escaped key names match where Jackson would (payloa\\u0064 = payload)") {
+    // "payload" is a legal JSON encoding of the key "payload"
+    val r = parse(
+      "{\"payloa\\u0064\":{\"op\":\"c\",\"after\":{\"a\":7},\"source\":{\"connector\":\"mysql\"}}}")
+    assert(r === Some((null, null, """{"a":7}""", "c", "mysql")))
+    // escaped inner keys too: "op" = "op"
+    val r2 = parse("{\"payload\":{\"o\\u0070\":\"u\",\"after\":{\"a\":1}}}")
+    assert(r2.get._4 === "u")
+  }
+
+  test("duplicate-key shapes match Jackson's last-wins view exactly") {
+    // the seeded fuzz builds envelopes from LinkedHashMaps and can never
+    // emit duplicate keys — anchor these shapes to Jackson directly
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    def jacksonView(json: String): (String, String) = {
+      val m = mapper.readValue(json, classOf[java.util.Map[String, Object]])
+      val p = m.get("payload").asInstanceOf[java.util.Map[String, Object]]
+      val op = if (p == null) null else p.get("op").asInstanceOf[String]
+      val conn = if (p == null) null else p.get("source") match {
+        case s: java.util.Map[_, _] => s.asInstanceOf[java.util.Map[String, Object]]
+          .get("connector").asInstanceOf[String]
+        case _ => null
+      }
+      (op, conn)
+    }
+    val shapes = Seq(
+      """{"payload":{"op":"c","source":{"connector":"one"},"source":{"connector":"two"}}}""",
+      """{"payload":{"op":"c","source":{"connector":"one"},"source":{}}}""",
+      """{"payload":{"op":"c","source":{"connector":"one"},"source":null}}""",
+      """{"payload":{"op":"c","source":{"connector":"one"},"source":7}}""",
+      """{"payload":{"op":"u","source":{"connector":"a"}},"payload":{"op":"d"}}""",
+      """{"payload":{"op":"u"},"payload":{"op":"d","source":{"connector":"b"}}}""",
+      """{"payload":{"op":"c","op":"r","source":{"connector":"x","connector":"y"}}}""")
+    shapes.foreach { json =>
+      val (op, conn) = jacksonView(json)
+      val got = parse(json).get
+      assert(got._4 === op, s"op mismatch on $json")
+      assert(got._5 === conn, s"connector mismatch on $json")
+    }
+  }
+
   test("duplicate top-level payload keys: last wins on the relational path too") {
     assert(parse("""{"payload":{"op":"d","before":{"x":1}},"payload":{"op":"c","after":{"a":1}}}""") ===
       Some((null, null, """{"a":1}""", "c", null)))

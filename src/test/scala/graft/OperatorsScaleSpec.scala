@@ -79,6 +79,18 @@ class OperatorsScaleSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(recall >= 0.95, f"recall $recall%.3f < 0.95")
   }
 
+  test("withPlantedTwins fails loudly when an id would collide with a twin id") {
+    import spark.implicits._
+    val bad = Seq((VectorOps.PlantedIdOffset + 5, Seq(1f, 0f)),
+      (1L, Seq(0f, 1f))).toDF("vec_id", "embedding")
+    val ex = intercept[Exception] {
+      VectorOps.withPlantedTwins(bad, "vec_id", "embedding").count()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(ex).exists(_.contains("collides with twin ids")))
+  }
+
   test("annLshTopK recall >= 0.9 vs brute-force cosine top-k") {
     val k = 3
     val truth = VectorOps.cosineTopK(embs, "vec_id", "embedding",
