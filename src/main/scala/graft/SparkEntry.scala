@@ -202,6 +202,68 @@ object SparkEntry {
     iso.unionByName(numeric)
   }
 
+  /** Case-SENSITIVE declared schema for the mixed-topic gate: postgres
+    * messages arrive with lower-cased wire names, mysql/mongo with the
+    * declared casing — decode must dispatch per message. */
+  private val mixedCdcSchema = CdcSchema(Seq(
+    CdcColumn("C_CustKey", LongType, nullable = false, keyPart = true),
+    CdcColumn("C_Name", StringType, nullable = false),
+    CdcColumn("C_NationKey", IntegerType, nullable = false),
+    CdcColumn("C_AcctBal", DoubleType, nullable = false),
+    CdcColumn("C_MktSegment", StringType, nullable = true)))
+
+  /** ONE topic multiplexing three connectors over the customer table
+    * (routing by c_custkey % 3): mysql strict envelopes (declared-cased
+    * names), postgresql strict envelopes (lower-cased names), mongodb
+    * extended-JSON documents. Batch 1 layers mysql 'u' (k%6==0), postgres
+    * 'u' (k%6==1), mongo `$set` (k%6==2) and mongo 'd' (k%6==5). */
+  private def mixedTopicEnvelopes(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val c = t(s, dir, "customer")
+    val k = col("c_custkey")
+    def orig = struct(k.as("C_CustKey"), col("c_name").as("C_Name"),
+      col("c_nationkey").as("C_NationKey"), col("c_acctbal").as("C_AcctBal"),
+      col("c_mktsegment").as("C_MktSegment"))
+    def origLc = struct(k.as("c_custkey"), col("c_name"),
+      col("c_nationkey"), col("c_acctbal"), col("c_mktsegment"))
+    def rev(suffix: String) = struct(k.as("C_CustKey"),
+      concat(col("c_name"), lit(suffix)).as("C_Name"),
+      col("c_nationkey").as("C_NationKey"), col("c_acctbal").as("C_AcctBal"),
+      col("c_mktsegment").as("C_MktSegment"))
+    def revLc(suffix: String) = struct(k.as("c_custkey"),
+      concat(col("c_name"), lit(suffix)).as("c_name"),
+      col("c_nationkey"), col("c_acctbal"), col("c_mktsegment"))
+    val myKey = to_json(struct(struct(k.as("C_CustKey")).as("payload"))).cast("binary")
+    val pgKey = to_json(struct(struct(k.as("c_custkey")).as("payload"))).cast("binary")
+    val nulS = lit(null).cast("string")
+    def rel(rows: DataFrame, conn: String, key: Column, before: Column,
+        after: Column, op: String, offBase: Long) =
+      rows.select(key.as("key"),
+        to_json(struct(struct(before.as("before"), after.as("after"),
+          struct(lit(conn).as("connector")).as("source"),
+          lit(op).as("op")).as("payload"))).cast("binary").as("value"),
+        lit("cdc.mixed").as("topic"), lit(0).as("partition"),
+        (k + offBase).as("offset"))
+    def mongo(rows: DataFrame, after: Column, patch: Column, op: String, offBase: Long) =
+      rows.select(myKey.as("key"),
+        to_json(struct(struct(after.as("after"), patch.as("patch"),
+          struct(lit("mongodb").as("connector")).as("source"),
+          lit(op).as("op")).as("payload"))).cast("binary").as("value"),
+        lit("cdc.mixed").as("topic"), lit(0).as("partition"),
+        (k + offBase).as("offset"))
+    val nulB = lit(null).cast(mixedCdcSchema.structType)
+    val doc = to_json(orig)
+    val b0 = rel(c.filter(k % 3 === 0), "mysql", myKey, nulB, orig, "c", 0L)
+      .unionByName(rel(c.filter(k % 3 === 1), "postgresql", pgKey, nulB, origLc, "c", 0L))
+      .unionByName(mongo(c.filter(k % 3 === 2), doc, nulS, "c", 0L))
+    val setPatch = to_json(struct(
+      struct(concat(col("c_name"), lit(" m2")).as("C_Name")).as("$set")))
+    val b1 = rel(c.filter(k % 6 === 0), "mysql", myKey, orig, rev(" rev2"), "u", 10000000L)
+      .unionByName(rel(c.filter(k % 6 === 1), "postgresql", pgKey, origLc, revLc(" pg2"), "u", 10000000L))
+      .unionByName(mongo(c.filter(k % 6 === 2), nulS, setPatch, "u", 10000000L))
+      .unionByName(mongo(c.filter(k % 6 === 5), nulS, nulS, "d", 10000000L))
+    (b0, b1)
+  }
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
     * the CDC last-writer-wins apply (reference DebeziumTransform.scala:752-759)
     * over the events change-log. */
@@ -340,6 +402,28 @@ object SparkEntry {
       pipe.processBatch(batch1, 1L)
       table.read()
         .select("_id", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment", "_offset")
+    }),
+    "cdc_mixed_topic" -> ((s, dir) => {
+      // ONE topic, THREE connectors, routed PER MESSAGE (the reference
+      // memoizes per partition and would mis-decode this): mysql +
+      // postgres strict envelopes (postgres wire names lower-cased
+      // against the case-sensitive declared schema) + mongo documents
+      // with $set patches and deletes — one MixedTopic.strictDeltas
+      // commit per batch through the merge-on-read lake, PATCH deltas
+      // folded on read.
+      val (b0, b1) = mixedTopicEnvelopes(s, dir)
+      val tmp = java.nio.file.Files.createTempDirectory("lake-mixed-gate").toString
+      val table = new graft.lake.LakeTable(s, tmp)
+      table.create(mixedCdcSchema.structType, mixedCdcSchema.keyNames, nBuckets = 16)
+      val pipe = new graft.streaming.CdcPipeline(s, mixedCdcSchema, table,
+        DecodeOptions(strict = true, validate = true, connector = Some("mixed")),
+        "gate-mixed", mergeOnRead = true, autoCompact = 0)
+      pipe.processBatch(b0, 0L)
+      pipe.processBatch(b1, 1L)
+      table.read().select(
+        col("C_CustKey").as("c_custkey"), col("C_Name").as("c_name"),
+        col("C_NationKey").as("c_nationkey"), col("C_AcctBal").as("c_acctbal"),
+        col("C_MktSegment").as("c_mktsegment"), col("_offset"))
     }),
     "cdc_pg_types" -> ((s, dir) => {
       // POSTGRES decode fidelity inside the gate: case folding +
@@ -935,6 +1019,20 @@ object SparkEntry {
         |       WHEN c_custkey % 3 = 0 THEN c_custkey + 10000000
         |       ELSE c_custkey END AS BIGINT) AS _offset
         |FROM customer WHERE c_custkey % 7 <> 0""".stripMargin,
+    "cdc_mixed_topic" ->
+      // one topic, three connectors routed per message; batch 1 updates:
+      // mysql ' rev2' (k%6==0, declared-cased wire names), postgres
+      // ' pg2' (k%6==1, lower-cased wire names), mongo $set ' m2'
+      // (k%6==2), mongo delete (k%6==5)
+      """SELECT c_custkey,
+        |  CASE WHEN c_custkey % 6 = 0 THEN c_name || ' rev2'
+        |       WHEN c_custkey % 6 = 1 THEN c_name || ' pg2'
+        |       WHEN c_custkey % 6 = 2 THEN c_name || ' m2'
+        |       ELSE c_name END AS c_name,
+        |  c_nationkey, c_acctbal, c_mktsegment,
+        |  CAST(CASE WHEN c_custkey % 6 IN (0, 1, 2) THEN c_custkey + 10000000
+        |       ELSE c_custkey END AS BIGINT) AS _offset
+        |FROM customer WHERE c_custkey % 6 <> 5""".stripMargin,
     "cdc_pg_types" ->
       // decode-fidelity expectations recomputed from the generator
       // formulas: price = unscaled(k*1000+250) at message scale 3 →

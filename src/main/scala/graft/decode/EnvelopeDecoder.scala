@@ -21,9 +21,18 @@ import graft.functions.BinaryToDecimal.binaryToDecimal
   * @param connector the stream's connector id when known up front
   *                ("mysql"/"postgresql"/"oracle"). Postgres lower-cases
   *                message field names when the declared schema is
-  *                case-sensitive (reference :243,273-287) — this is a
-  *                PLAN-time choice here (one connector per decoded view,
-  *                like the reference's per-partition memoization :554-565).
+  *                case-sensitive (reference :243,273-287). With
+  *                `Some(connector)` the folding is a PLAN-time choice
+  *                (cheapest: one name per parsed field); with `None` the
+  *                relational decoder dispatches PER MESSAGE on the
+  *                envelope's own `payload.source.connector` — both name
+  *                casings are parsed and each row picks by its connector,
+  *                so one decoded view serves a topic mixing mysql/oracle
+  *                with postgresql (stronger than the reference's
+  *                per-partition memoization :554-565, which mis-decodes a
+  *                partition whose connectors actually differ). Use
+  *                `Some("mixed")` on [[graft.decode.MixedTopic]] when
+  *                MongoDB messages share the topic too.
   */
 case class DecodeOptions(strict: Boolean = true, validate: Boolean = true,
     connector: Option[String] = None)
@@ -67,10 +76,19 @@ object EnvelopeDecoder {
       StructField("field", StringType),
       StructField("fields", ArrayType(fieldDescType))))))))
 
-  /** One row image's raw JSON shape. */
-  private def payloadJsonType(schema: CdcSchema, jsonName: String => String): StructType =
-    StructType(schema.columns.map(c =>
-      StructField(jsonName(c.name), c.rawJsonType, nullable = true)))
+  /** One row image's raw JSON shape. `names` expands a declared column
+    * name to the wire-name variants to parse (one for a plan-time
+    * connector; declared + lower-cased under per-message dispatch). */
+  private def payloadJsonType(schema: CdcSchema, names: String => Seq[String]): StructType = {
+    val fields = schema.columns.flatMap(c =>
+      names(c.name).map(n => StructField(n, c.rawJsonType, nullable = true)))
+    require(fields.map(_.name).distinct.size == fields.size,
+      "declared column names collide after lower-casing; set DecodeOptions.connector explicitly")
+    StructType(fields)
+  }
+
+  private def payloadJsonType1(schema: CdcSchema, jsonName: String => String): StructType =
+    payloadJsonType(schema, n => Seq(jsonName(n)))
 
   /** Raw JSON shape of the WHOLE envelope for a single from_json (the
     * pre-slicer decode path, kept for stage-isolation benchmarking in
@@ -81,7 +99,7 @@ object EnvelopeDecoder {
     * which is why the production path slices first). */
   private def valueJsonType(schema: CdcSchema, includeBefore: Boolean,
       includeMsgSchema: Boolean, jsonName: String => String): StructType = {
-    val payloadType = payloadJsonType(schema, jsonName)
+    val payloadType = payloadJsonType1(schema, jsonName)
     val before =
       if (includeBefore) Seq(StructField("before", payloadType)) else Nil
     val msgSchema =
@@ -188,10 +206,11 @@ object EnvelopeDecoder {
     * struct; null when the raw payload struct is null. */
   private def payloadStruct(schema: CdcSchema, raw: Column, topic: Column,
       offset: Column, validate: Boolean, side: String,
-      jsonName: String => String, msgFields: Option[Column]): Column = {
+      rawField: (Column, CdcColumn) => Column,
+      descOf: CdcColumn => Option[Column]): Column = {
     val cols = schema.columns.map { c =>
-      val desc = msgFields.map(descFor(_, jsonName(c.name)))
-      val coerced = coerce(c, raw.getField(jsonName(c.name)), desc, validate)
+      val desc = descOf(c)
+      val coerced = coerce(c, rawField(raw, c), desc, validate)
       if (validate && !c.nullable) {
         when(coerced.isNull,
           raise_error(concat(lit(s"missing value for non-nullable field '${c.name}' in $side at offset "),
@@ -204,9 +223,11 @@ object EnvelopeDecoder {
       .otherwise(lit(null).cast(structTypeOf(schema)))
   }
 
-  /** The per-column descriptor from the message schema's field list. */
-  private def descFor(fields: Column, name: String): Column =
-    element_at(filter(fields, f => f.getField("field") === lit(name)), 1)
+  /** The per-column descriptor from the message schema's field list
+    * (`name` is a Column so per-message connector dispatch can pick the
+    * folded wire name per row). */
+  private def descFor(fields: Column, name: Column): Column =
+    element_at(filter(fields, f => f.getField("field") === name), 1)
 
   private def structTypeOf(schema: CdcSchema): StructType = schema.structType
 
@@ -221,15 +242,46 @@ object EnvelopeDecoder {
   def decodeRelational(raw: DataFrame, schema: CdcSchema,
       opts: DecodeOptions = DecodeOptions()): DataFrame = {
     // Postgres folds message field names to lower case when the declared
-    // schema has any upper-case letter (reference :243,273-287)
-    val fold = opts.connector.contains("postgresql") && schema.caseSensitive
-    def jsonName(n: String): String = if (fold) n.toLowerCase else n
+    // schema has any upper-case letter (reference :243,273-287). With a
+    // plan-time connector the folding is static; with connector=None and a
+    // case-sensitive schema, BOTH casings are parsed and each ROW picks by
+    // its own `payload.source.connector` (per-message dispatch for mixed
+    // relational topics). Schemas with no upper-case letter fold to
+    // themselves, so auto mode costs nothing there.
+    val foldAll = opts.connector.contains("postgresql") && schema.caseSensitive
+    val auto = opts.connector.isEmpty && schema.caseSensitive
+    def jsonName(n: String): String = if (foldAll) n.toLowerCase else n
+    def variantNames(n: String): Seq[String] =
+      if (auto && n.toLowerCase != n) Seq(n, n.toLowerCase) else Seq(jsonName(n))
+
+    // per-row Postgres test (only referenced in auto mode; null-connector
+    // envelopes fall to the declared casing)
+    val isPg = col("_connector") === "postgresql"
+    // struct-field access by ORDINAL: in auto mode the parse struct holds
+    // both "Name" and "name", which a (case-insensitive) name lookup
+    // cannot disambiguate
+    def fieldOf(s: Column, ptype: StructType, name: String): Column = {
+      import org.apache.spark.sql.graftshim.{toColumn, toExpression}
+      toColumn(org.apache.spark.sql.catalyst.expressions.GetStructField(
+        toExpression(s), ptype.fieldIndex(name), Some(name)))
+    }
+    def rawOf(s: Column, ptype: StructType, c: CdcColumn): Column = {
+      val lc = c.name.toLowerCase
+      if (auto && lc != c.name)
+        when(isPg, fieldOf(s, ptype, lc)).otherwise(fieldOf(s, ptype, c.name))
+      else s.getField(jsonName(c.name))
+    }
+    def descNameOf(c: CdcColumn): Column = {
+      val lc = c.name.toLowerCase
+      if (auto && lc != c.name) when(isPg, lit(lc)).otherwise(lit(c.name))
+      else lit(jsonName(c.name))
+    }
 
     val withMsg = needsMsgSchema(schema)
-    val pt = payloadJsonType(schema, jsonName)
-    val kt = StructType(Seq(StructField("payload", StructType(
-      schema.keyColumns.map(c =>
-        StructField(jsonName(c.name), c.rawJsonType, nullable = true))))))
+    val pt = payloadJsonType(schema, variantNames)
+    val ktp = StructType(schema.keyColumns.flatMap(c =>
+      variantNames(c.name).map(n => StructField(n, c.rawJsonType, nullable = true))))
+    val kt = StructType(Seq(StructField("payload", ktp)))
 
     // stage 1 — one byte-level pass splits the envelope into raw slices
     // (EnvelopeSlices: the schema header is ~70% of the bytes and Jackson
@@ -267,22 +319,25 @@ object EnvelopeDecoder {
           col("offset").cast(StringType))))
       .otherwise(concat_ws("|",
         schema.keyColumns.map(c =>
-          col(s"_k.payload.${jsonName(c.name)}").cast(StringType)): _*))
+          rawOf(col("_k.payload"), ktp, c).cast(StringType)): _*))
 
     val msgFields: Option[Column] =
       if (withMsg)
         Some(descOfAfter(col("_msg_schema.fields")))
       else None
+    def descOf(c: CdcColumn): Option[Column] =
+      msgFields.map(descFor(_, descNameOf(c)))
+    def rawField(s: Column, c: CdcColumn): Column = rawOf(s, pt, c)
 
     val op = col("_op")
     val afterRaw = col("_after_raw")
     val beforeRaw = col("_before_raw")
 
     val after0 = payloadStruct(schema, afterRaw, col("topic"), col("offset"),
-      opts.validate, "after", jsonName, msgFields)
+      opts.validate, "after", rawField, descOf)
     val before0 = if (opts.strict)
       payloadStruct(schema, beforeRaw, col("topic"), col("offset"),
-        opts.validate, "before", jsonName, msgFields)
+        opts.validate, "before", rawField, descOf)
     else lit(null).cast(structTypeOf(schema))
 
     // null-shape rules (reference :581,590): before null for c/r; after null for d
@@ -296,14 +351,21 @@ object EnvelopeDecoder {
       when(op.isin(OpCreate, OpRead) && beforeRaw.isNotNull,
         raise_error(concat(lit("expected 'before' to be null for operation 'c'/'r' at offset "),
           col("offset").cast(StringType))))
+        // reference parity (:582): strict u/d MUST carry the before-image
+        // ("expected 'value.payload.before' to be Object") — and the lake
+        // MERGE relies on it: a delta whose _first_before is null is
+        // checked presence-only (the Mongo rule), which is only sound
+        // because relational u/d can never reach it with a null image
+        .when(op.isin(OpUpdate, OpDelete) && beforeRaw.isNull,
+          raise_error(concat(lit("expected 'before' to be non-null for operation 'u'/'d' at offset "),
+            col("offset").cast(StringType))))
         .otherwise(before0)
     } else before0
 
     // typed primary-key struct from the Kafka key (always present, even for
     // deletes where `after` is null) — feeds the lake MERGE bucket routing
     val pkCol = struct(schema.keyColumns.map { c =>
-      val desc = msgFields.map(descFor(_, jsonName(c.name)))
-      coerce(c, col(s"_k.payload.${jsonName(c.name)}"), desc, validate = false)
+      coerce(c, rawOf(col("_k.payload"), ktp, c), descOf(c), validate = false)
     }: _*)
 
     parsed.select(

@@ -493,7 +493,12 @@ class LakeTable(val spark: SparkSession, val root: String) {
         if (hasBefore) {
           val beforeImg = struct(cmp.map(c => col(s"_delta._first_before.$c")): _*)
           val snapImg = struct(cmp.map(c => col(s"_snap.$c")): _*)
-          beforeImg <=> snapImg
+          // a PER-ROW null before-image means a Mongo delta in a mixed
+          // commit: presence-only. Sound because relational strict decode
+          // raises on u/d with a null before (EnvelopeDecoder) — only
+          // Mongo rows can reach here imageless.
+          when(col("_delta._first_before").isNull, lit(true))
+            .otherwise(beforeImg <=> snapImg)
         } else lit(true)
       val ok = col("_delta").isNull ||
         when(col("_delta._first_op").isin("c", "r"), col("_snap").isNull)
@@ -624,7 +629,10 @@ class LakeTable(val spark: SparkSession, val root: String) {
         if (deltas.columns.contains("_first_before")) {
           val beforeImg = struct(cmp.map(c => col(s"_first_before.$c")): _*)
           val snapImg = struct(cmp.map(c => col(s"_snap.$c")): _*)
-          beforeImg <=> snapImg
+          // per-row null before-image = Mongo delta in a mixed commit:
+          // presence-only (see `merge`; relational u/d can't arrive null)
+          when(col("_first_before").isNull, lit(true))
+            .otherwise(beforeImg <=> snapImg)
         } else lit(true)
       val ok = when(col("_first_op").isin("c", "r"), col("_snap").isNull)
         .otherwise(col("_snap").isNotNull && sameBefore)

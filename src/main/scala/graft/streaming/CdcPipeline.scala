@@ -76,14 +76,18 @@ class CdcPipeline(
   def processBatch(raw: DataFrame, batchId: Long): Int = {
     val t0 = System.nanoTime()
     val mongo = decodeOptions.connector.contains("mongodb")
-    if (autoEvolve && !mongo) maybeEvolve(raw)
+    val mixed = decodeOptions.connector.contains("mixed")
+    if (autoEvolve && !mongo && !mixed) maybeEvolve(raw)
     val schema = curSchema
     // Mongo: patch chains composed per key in-batch, presence precondition
     // + masked-field application finished inside the bucket-pruned merge
     // join — state is never re-read wholesale (the applyStrict +
     // withInitialState alternative unions the ENTIRE snapshot per batch)
     val deltas =
-      if (mongo) {
+      if (mixed) {
+        // per-message connector routing (relational + Mongo in one topic)
+        graft.decode.MixedTopic.strictDeltas(raw, schema, decodeOptions)
+      } else if (mongo) {
         require(decodeOptions.strict, "connector 'mongodb' requires strict mode")
         CdcApply.mongoStrictDeltas(
           graft.decode.MongoDecoder.decode(raw, schema, decodeOptions), schema)

@@ -181,15 +181,22 @@ class TypeFidelitySpec extends AnyFunSuite with SparkSessionTestWrapper {
     val raw = Seq(EnvelopeGen.RawEnvelope(
       """{"payload":{"id":1}}""".getBytes("UTF-8"), value.getBytes("UTF-8"),
       "t", 0, 1L, new java.sql.Timestamp(0), 0)).toDF()
-    // without the postgres fold, the mixed-case lookup finds nothing
+    // a plan-time NON-postgres connector does not fold: the mixed-case
+    // lookup finds nothing and the non-nullable column errors
     intercept[Exception] {
       EnvelopeDecoder.decodeRelational(raw, pgSchema,
-        DecodeOptions(strict = false, validate = true)).collect()
+        DecodeOptions(strict = false, validate = true, connector = Some("mysql"))).collect()
     }
     val r = EnvelopeDecoder.decodeRelational(raw, pgSchema,
       DecodeOptions(strict = false, validate = true, connector = Some("postgresql")))
       .select("after.*").collect().head
     assert(r.getAs[String]("mixedCase") == "hello")
+    // connector=None = per-MESSAGE dispatch: the envelope's own
+    // source.connector selects the folded wire name row by row
+    val rAuto = EnvelopeDecoder.decodeRelational(raw, pgSchema,
+      DecodeOptions(strict = false, validate = true))
+      .select("after.*").collect().head
+    assert(rAuto.getAs[String]("mixedCase") == "hello")
   }
 
   test("null or unparseable Kafka keys error instead of collapsing to one key") {
