@@ -26,9 +26,16 @@ object MessageSchema {
   private val mapper = new ObjectMapper()
 
   /** Columns declared by the message's after-entry field list. */
-  def afterColumns(valueJson: String): Seq[CdcColumn] = {
-    val root = mapper.readTree(valueJson)
-    val fields = root.path("schema").path("fields")
+  def afterColumns(valueJson: String): Seq[CdcColumn] =
+    afterColumnsOfSection(mapper.readTree(valueJson).path("schema"))
+
+  /** Same, over the sliced `schema` SECTION alone (what
+    * EnvelopeSlices hands back — the full envelope is never parsed). */
+  def afterColumnsOfSection(sectionJson: String): Seq[CdcColumn] =
+    afterColumnsOfSection(mapper.readTree(sectionJson))
+
+  private def afterColumnsOfSection(section: JsonNode): Seq[CdcColumn] = {
+    val fields = section.path("fields")
     if (!fields.isArray) return Nil
     val after = fields.elements().asScala
       .find(f => f.path("field").asText() == "after")
@@ -40,6 +47,13 @@ object MessageSchema {
   def evolvedColumns(valueJson: String, declared: CdcSchema): Seq[CdcColumn] = {
     val known = declared.columns.map(_.name).toSet
     afterColumns(valueJson).filterNot(c => known.contains(c.name))
+      .map(_.copy(nullable = true))
+  }
+
+  /** [[evolvedColumns]] over a sliced schema section. */
+  def evolvedColumnsOfSection(sectionJson: String, declared: CdcSchema): Seq[CdcColumn] = {
+    val known = declared.columns.map(_.name).toSet
+    afterColumnsOfSection(sectionJson).filterNot(c => known.contains(c.name))
       .map(_.copy(nullable = true))
   }
 

@@ -45,26 +45,36 @@ class CdcPipeline(
   /** The declared schema, including columns added by auto-evolution. */
   def currentSchema: CdcSchema = curSchema
 
-  /** Handle Debezium schema-evolution messages: if the batch's newest
-    * envelope declares `after` fields the current schema lacks, add them
-    * as nullable columns to BOTH the declared schema and the lake table
-    * (additive in-place evolution; older messages in the same batch
-    * simply decode the new columns as null). Costs one extra top-1 scan
-    * of the raw batch per trigger (TakeOrdered(1), O(batch) with O(1)
-    * memory) — the price of evolution detection; leave autoEvolve off
-    * (the default) when schemas are fixed. No-op on replay: the columns
-    * already exist. Only the NEWEST message is inspected: if a
-    * schema-change message interleaves before later old-schema messages,
-    * the table evolves one trigger late — harmless for additive-nullable
-    * evolution (old-schema messages decode the new columns as null either
-    * way; no data is lost or mis-typed). */
+  /** Handle Debezium schema-evolution messages: if ANY envelope in the
+    * batch declares `after` fields the current schema lacks, add them as
+    * nullable columns to BOTH the declared schema and the lake table
+    * (additive in-place evolution; same-batch old-schema messages simply
+    * decode the new columns as null). The batch's DISTINCT schema
+    * headers are aggregated — the byte-level scanner slices the header
+    * without parsing it, and partial aggregation reduces each partition
+    * to its few distinct header strings before the (tiny) shuffle — so a
+    * schema-change message interleaved before later old-schema messages
+    * evolves the table in the SAME trigger, not one late. Headers are
+    * folded newest-first (max offset), first declaration of a name wins.
+    * Defensive cap: at most [[CdcPipeline.MaxEvolveHeaders]] distinct
+    * headers are inspected per trigger; a pathological batch beyond that
+    * evolves the excess one trigger late (the pre-round-4 behavior),
+    * never incorrectly. Leave autoEvolve off (the default) when schemas
+    * are fixed. No-op on replay: the columns already exist. */
   private def maybeEvolve(raw: DataFrame): Unit = {
-    import org.apache.spark.sql.functions.{col, desc}
-    val newest = raw.filter(col("value").isNotNull)
-      .orderBy(desc("offset")).select("value").head(1)
-    if (newest.isEmpty) return
-    val json = new String(newest.head.getAs[Array[Byte]](0), "UTF-8")
-    val added = graft.model.MessageSchema.evolvedColumns(json, curSchema)
+    import org.apache.spark.sql.functions.{col, desc, max}
+    val headers = raw.filter(col("value").isNotNull)
+      .select(graft.functions.EnvelopeSlices.envelopeSlices(
+        col("value"), wantSchema = true, wantBefore = false)
+        .getField("schema_json").as("h"), col("offset"))
+      .filter(col("h").isNotNull)
+      .groupBy(col("h")).agg(max(col("offset")).as("o"))
+      .orderBy(desc("o")).take(CdcPipeline.MaxEvolveHeaders)
+    if (headers.isEmpty) return
+    val added = headers.iterator
+      .flatMap(r => graft.model.MessageSchema
+        .evolvedColumnsOfSection(r.getString(0), curSchema))
+      .toSeq.distinctBy(_.name)
     if (added.nonEmpty) {
       curSchema = curSchema.evolve(added)
       table.evolveSchema(curSchema.structType)
@@ -131,4 +141,10 @@ class CdcPipeline(
         processBatch(df, batchId); ()
       }
       .start()
+}
+
+object CdcPipeline {
+  /** Cap on distinct schema headers inspected per trigger by
+    * auto-evolution — bounds driver work on pathological batches. */
+  val MaxEvolveHeaders = 64
 }

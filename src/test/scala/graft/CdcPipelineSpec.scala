@@ -208,4 +208,40 @@ class CdcPipelineSpec extends AnyFunSuite with SparkSessionTestWrapper {
     pipe.processBatch(raw, 1L)
     assert(table.currentVersion == v1)
   }
+
+  test("AUTO evolution sees a schema-change message that is NOT the batch's newest") {
+    val table = newTable()
+    val pipe = new CdcPipeline(spark, schema, table,
+      DecodeOptions(strict = false), "cp-autoevolve-mid", autoEvolve = true)
+    val fields = """[{"field":"conv_id","type":"string","optional":false},
+      {"field":"turn_idx","type":"int32","optional":false},
+      {"field":"role","type":"string","optional":false},
+      {"field":"text","type":"string","optional":false},
+      {"field":"tool","type":"string","optional":true},
+      {"field":"ts","type":"int64","optional":false,"name":"io.debezium.time.MicroTimestamp"},
+      {"field":"sentiment","type":"string","optional":true}]"""
+    def env(conv: String, extra: String, withSchema: Boolean) = {
+      val sch = if (withSchema) s""""schema":{"type":"struct","fields":[
+        {"field":"after","type":"struct","optional":true,"fields":$fields}]},""" else ""
+      s"""{$sch"payload":{"before":null,"after":{"conv_id":"$conv","turn_idx":0,
+        "role":"user","text":"hi","tool":null,"ts":1700000000000000$extra},
+        "source":{"connector":"mysql","ts_ms":1},"op":"c","ts_ms":1}}"""
+    }
+    def rawOf(conv: String, extra: String, withSchema: Boolean, off: Long) =
+      EnvelopeGen.RawEnvelope(
+        s"""{"payload":{"conv_id":"$conv","turn_idx":0}}""".getBytes("UTF-8"),
+        env(conv, extra, withSchema).getBytes("UTF-8"),
+        "cdc.transcripts", 0, off, new java.sql.Timestamp(0), 0)
+    // the new-schema message sits at a LOWER offset than a later
+    // old-schema message — newest-only inspection would miss it this
+    // trigger; distinct-header aggregation must not
+    val raw = Seq(
+      rawOf("conv-mid", ""","sentiment":"mixed"""", withSchema = true, off = 10L),
+      rawOf("conv-late", "", withSchema = false, off = 20L)).toDF()
+    pipe.processBatch(raw, 0L)
+    assert(pipe.currentSchema.columns.map(_.name).last == "sentiment")
+    val df = table.read()
+    assert(df.filter(col("conv_id") === "conv-mid" && col("sentiment") === "mixed").count() == 1)
+    assert(df.filter(col("conv_id") === "conv-late" && col("sentiment").isNull).count() == 1)
+  }
 }
