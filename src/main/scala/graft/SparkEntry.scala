@@ -403,6 +403,32 @@ object SparkEntry {
       table.read()
         .select("_id", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment", "_offset")
     }),
+    "cdc_lake_skip" -> ((s, dir) => {
+      // manifest-stats data skipping on the realistic CDC shape: three
+      // time-windowed ingest commits (each commit's files carry a narrow
+      // event-time range in their footer-harvested manifest stats), then
+      // a time-bounded readWhere that PRUNES the first two commits'
+      // files from the scan — at 10^10 rows this is the difference
+      // between reading one commit and the whole table.
+      val ev = t(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("value"), col("ts"),
+          // ts is TIMESTAMP_NTZ in the parquet; the session runs UTC, so
+          // the cast is instant-preserving and matches DuckDB's epoch_us
+          unix_micros(col("ts").cast(TimestampType)).as("ts_us"))
+      val tmp = java.nio.file.Files.createTempDirectory("lake-skip-gate").toString
+      val table = new graft.lake.LakeTable(s, tmp)
+      table.create(ev.schema, Seq("event_id"), nBuckets = 8,
+        statsColumns = Seq("ts_us"))
+      val t1 = 1704931200000000L // 2024-01-11 UTC in epoch micros
+      val t2 = 1705795200000000L // 2024-01-21
+      val t3 = 1706140800000000L // 2024-01-25
+      table.append(ev.filter(col("ts_us") < t1), "w", 0L)
+      table.append(ev.filter(col("ts_us") >= t1 && col("ts_us") < t2), "w", 1L)
+      table.append(ev.filter(col("ts_us") >= t2), "w", 2L)
+      table.readWhere(col("ts_us") >= t3)
+        .select("event_id", "user_id", "event_type", "value", "ts")
+    }),
     "cdc_mixed_topic" -> ((s, dir) => {
       // ONE topic, THREE connectors, routed PER MESSAGE (the reference
       // memoizes per partition and would mis-decode this): mysql +
@@ -1019,6 +1045,9 @@ object SparkEntry {
         |       WHEN c_custkey % 3 = 0 THEN c_custkey + 10000000
         |       ELSE c_custkey END AS BIGINT) AS _offset
         |FROM customer WHERE c_custkey % 7 <> 0""".stripMargin,
+    "cdc_lake_skip" ->
+      """SELECT event_id, user_id, event_type, value, ts
+        |FROM events WHERE epoch_us(ts) >= 1706140800000000""".stripMargin,
     "cdc_mixed_topic" ->
       // one topic, three connectors routed per message; batch 1 updates:
       // mysql ' rev2' (k%6==0, declared-cased wire names), postgres

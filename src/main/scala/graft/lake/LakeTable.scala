@@ -9,7 +9,9 @@ import org.apache.hadoop.fs.{FileSystem, Path}
 
 import org.apache.spark.sql.{DataFrame, Observation, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{ArrayType, DataType, StringType, StructField, StructType}
+import org.apache.spark.sql.types.{ArrayType, ByteType, DataType, DateType,
+  DoubleType, FloatType, IntegerType, LongType, ShortType, StringType,
+  StructField, StructType, TimestampNTZType, TimestampType}
 
 /** Minimal Iceberg-style snapshot-committed Parquet table.
   *
@@ -76,9 +78,14 @@ class LakeTable(val spark: SparkSession, val root: String) {
     * merge-on-read reconstruction); `delta` = file carries `operation`
     * rows to overlay, not final base rows; `patch` = delta rows may be
     * PARTIAL updates (`_patch_mask` column), so reconstruction must fold
-    * in seq order instead of last-writer-wins. */
+    * in seq order instead of last-writer-wins; `stats` = per-column
+    * (min, max) in canonical form (Long / Double / String), harvested
+    * from the parquet FOOTER at commit time for the table's
+    * `statsColumns` — the basis for manifest-level data skipping
+    * ([[readWhere]]). Absent = unknown, never prunes. */
   case class DataFile(path: String, bucket: Int, seq: Int = 0,
-      delta: Boolean = false, patch: Boolean = false)
+      delta: Boolean = false, patch: Boolean = false,
+      stats: Map[String, (Any, Any)] = Map.empty)
   /** Immutable list of data files, stored once under `metadata/` and
     * reused by every later snapshot that doesn't remove one of its
     * files. An empty `path` marks a legacy inline file list (pre-manifest
@@ -91,7 +98,8 @@ class LakeTable(val spark: SparkSession, val root: String) {
       nBuckets: Int,
       manifests: Seq[Manifest],
       commits: Map[String, Long],
-      lineage: Option[JsonNode]) {
+      lineage: Option[JsonNode],
+      statsColumns: Seq[String] = Nil) {
     def files: Seq[DataFile] = manifests.flatMap(_.files)
   }
 
@@ -113,11 +121,22 @@ class LakeTable(val spark: SparkSession, val root: String) {
 
   private def parseFiles(arr: JsonNode): Seq[DataFile] =
     arr.elements().asScala.map { f =>
+      val stats: Map[String, (Any, Any)] =
+        if (!f.has("stats")) Map.empty
+        else f.get("stats").fields().asScala.map { e =>
+          e.getKey -> ((statVal(e.getValue.get("min")), statVal(e.getValue.get("max"))))
+        }.toMap
       DataFile(f.get("path").asText(), f.get("bucket").asInt(),
         if (f.has("seq")) f.get("seq").asInt() else 0,
         f.has("delta") && f.get("delta").asBoolean(),
-        f.has("patch") && f.get("patch").asBoolean())
+        f.has("patch") && f.get("patch").asBoolean(),
+        stats)
     }.toSeq
+
+  private def statVal(n: JsonNode): Any =
+    if (n.isIntegralNumber) n.asLong()
+    else if (n.isNumber) n.asDouble()
+    else n.asText()
 
   private def loadManifest(path: String): Manifest =
     Manifest(path, manifestCache.getOrElseUpdate(path,
@@ -138,7 +157,11 @@ class LakeTable(val spark: SparkSession, val root: String) {
       manifests = manifests,
       commits = node.get("commits").fields().asScala
         .map(e => e.getKey -> e.getValue.asLong()).toMap,
-      lineage = Option(node.get("lineage")))
+      lineage = Option(node.get("lineage")),
+      statsColumns =
+        if (node.has("statsColumns"))
+          node.get("statsColumns").elements().asScala.map(_.asText()).toSeq
+        else Nil)
   }
 
   def currentSnapshot: Option[Snapshot] = currentVersion.map(snapshot)
@@ -156,6 +179,19 @@ class LakeTable(val spark: SparkSession, val root: String) {
     files.foreach { f =>
       val o = arr.addObject(); o.put("path", f.path); o.put("bucket", f.bucket)
       o.put("seq", f.seq); o.put("delta", f.delta); o.put("patch", f.patch)
+      if (f.stats.nonEmpty) {
+        val st = o.putObject("stats")
+        f.stats.foreach { case (c, (mn, mx)) =>
+          val cn = st.putObject(c)
+          def put(k: String, v: Any): Unit = v match {
+            case l: Long => cn.put(k, l)
+            case d: Double => cn.put(k, d)
+            case s: String => cn.put(k, s)
+            case other => sys.error(s"BUG: unserializable stat $other")
+          }
+          put("min", mn); put("max", mx)
+        }
+      }
     }
     val out = fs.create(new Path(root, rel), false)
     try out.write(mapper.writeValueAsBytes(arr)) finally out.close()
@@ -188,6 +224,9 @@ class LakeTable(val spark: SparkSession, val root: String) {
     s.manifests.foreach(m => ma.add(m.path))
     val cm = node.putObject("commits")
     s.commits.foreach { case (k, v) => cm.put(k, v) }
+    if (s.statsColumns.nonEmpty) {
+      val sc = node.putArray("statsColumns"); s.statsColumns.foreach(sc.add)
+    }
     if (lineage != null) node.set[ObjectNode]("lineage", lineage.deepCopy())
 
     val target = versionFile(s.version)
@@ -234,10 +273,47 @@ class LakeTable(val spark: SparkSession, val root: String) {
 
   // ------------------------------------------------------------ lifecycle
 
-  def create(schema: StructType, keyColumns: Seq[String], nBuckets: Int = 32): Unit = {
+  /** `statsColumns`: columns whose per-file min/max are harvested from
+    * parquet footers at commit time and recorded in manifests, enabling
+    * [[readWhere]] data skipping. Supported types: integral, float
+    * family, string, date, timestamp (others are rejected — no sound
+    * ordering is recorded for them). Empty (the default) = zero
+    * overhead. */
+  def create(schema: StructType, keyColumns: Seq[String], nBuckets: Int = 32,
+      statsColumns: Seq[String] = Nil): Unit = {
     require(currentVersion.isEmpty, s"table already exists at $root")
+    validateStatsColumns(schema, statsColumns)
     fs.mkdirs(metaDir)
-    writeSnapshot(Snapshot(0, schema, keyColumns, nBuckets, Nil: Seq[Manifest], Map.empty, None))
+    writeSnapshot(Snapshot(0, schema, keyColumns, nBuckets, Nil: Seq[Manifest],
+      Map.empty, None, statsColumns))
+  }
+
+  private def validateStatsColumns(schema: StructType, cols: Seq[String]): Unit =
+    cols.foreach { c =>
+      val idx = schema.fieldNames.indexOf(c)
+      require(idx >= 0, s"stats column '$c' not in schema")
+      val ok = schema(idx).dataType match {
+        case ByteType | ShortType | IntegerType | LongType | FloatType |
+             DoubleType | StringType | DateType | TimestampType |
+             TimestampNTZType => true
+        case _ => false
+      }
+      require(ok, s"stats column '$c': unsupported type ${schema(idx).dataType.simpleString}")
+    }
+
+  /** Change the harvested stats columns (metadata-only commit): files
+    * written AFTER this carry the new stats; existing files keep theirs
+    * (absent stats never prune, so reads stay correct). */
+  def setStatsColumns(cols: Seq[String]): Snapshot = {
+    val cur = currentSnapshot.getOrElse(sys.error(s"no table at $root"))
+    validateStatsColumns(cur.schema, cols)
+    val next = cur.copy(version = cur.version + 1,
+      manifests = nextManifests(cur, _ => false, Nil),
+      statsColumns = cols,
+      lineage = Some(lineageNode("setStatsColumns",
+        Map("columns" -> cols.mkString(",")))))
+    writeSnapshot(next)
+    next
   }
 
   /** Additive schema evolution: new nullable columns appended; existing
@@ -320,6 +396,64 @@ class LakeTable(val spark: SparkSession, val root: String) {
         .select(columns.map(col): _*))
   }
 
+  /** Predicate-pruned read: equivalent to `read().filter(pred)` but
+    * skips every data file whose manifest min/max stats prove it cannot
+    * contain a matching row — at 10^10 rows with a selective predicate
+    * on a stats column this reads a handful of files instead of the
+    * table. Soundness split:
+    *  - buckets WITHOUT deltas hold final rows → per-FILE pruning;
+    *  - buckets WITH deltas are LWW/patch-fold reconstructed, where a
+    *    final row can combine column values from several files → the
+    *    bucket is pruned only when the predicate cannot match the UNION
+    *    of all its files' ranges (drop-all-or-keep-all per bucket).
+    * Unknown stats / unsupported predicate shapes never prune; the
+    * surviving scan re-applies the full predicate. */
+  def readWhere(pred: org.apache.spark.sql.Column,
+      version: Option[Int] = None): DataFrame = {
+    val snap = version.map(snapshot).orElse(currentSnapshot)
+      .getOrElse(sys.error(s"no table at $root"))
+    val e = org.apache.spark.sql.graftshim.toCatalyst(pred)
+    val (keptBase, keptMor, total) = pruneForPredicate(snap, e)
+    System.err.println(s"[lake-skip] kept=${keptBase.size + keptMor.size}/$total files")
+    readFiles(snap, keptBase).filter(pred)
+      .unionByName(
+        if (keptMor.isEmpty)
+          spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], snap.schema)
+        else reconstructRows(snap, keptMor).filter(pred))
+  }
+
+  /** (kept final-row files, kept MoR files, total) for `pred`. */
+  private[graft] def pruneForPredicate(snap: Snapshot,
+      e: org.apache.spark.sql.catalyst.expressions.Expression)
+      : (Seq[DataFile], Seq[DataFile], Int) = {
+    val deltaBuckets = snap.files.filter(_.delta).map(_.bucket).toSet
+    val (morFiles, pureBase) = snap.files.partition(f => deltaBuckets.contains(f.bucket))
+    val keptBase = pureBase.filter(f => StatsPruner.mayMatch(e, f.stats.get))
+    val keptMor = morFiles.groupBy(_.bucket).values.filter { fs =>
+      StatsPruner.mayMatch(e, mergedStats(fs).get)
+    }.flatten.toSeq
+    (keptBase, keptMor, snap.files.size)
+  }
+
+  /** Union of the files' ranges; a column is known only if EVERY file
+    * knows it (a file with unknown bounds can hold anything). */
+  private def mergedStats(fs: Iterable[DataFile]): Map[String, (Any, Any)] = {
+    def lt(a: Any, b: Any): Boolean = (a, b) match {
+      case (x: Long, y: Long) => x < y
+      case (x: Double, y: Double) => x < y
+      case (x: String, y: String) => x < y
+      case _ => false
+    }
+    val cols = fs.map(_.stats.keySet).reduceOption(_ intersect _).getOrElse(Set.empty)
+    cols.map { c =>
+      val vs = fs.map(_.stats(c))
+      c -> vs.reduce[(Any, Any)] { case ((a1, b1), (a2, b2)) =>
+        (if (lt(a2, a1)) a2 else a1, if (lt(b1, b2)) b2 else b1)
+      }
+    }.toMap
+  }
+
   private def readFiles(snap: Snapshot, files: Seq[DataFile]): DataFrame =
     if (files.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], snap.schema)
@@ -381,8 +515,11 @@ class LakeTable(val spark: SparkSession, val root: String) {
 
   // ------------------------------------------------------------ write
 
-  /** List parquet files written under a commit dir, keyed by bucket. */
+  /** List parquet files written under a commit dir, keyed by bucket;
+    * harvests min/max footer stats for the table's statsColumns (one
+    * footer read per NEW file — O(changed files), like the manifests). */
   private def listCommitFiles(commitDir: Path, seq: Int, delta: Boolean): Seq[DataFile] = {
+    val statCols = currentSnapshot.map(_.statsColumns).getOrElse(Nil)
     val it = fs.listFiles(commitDir, true)
     val buf = Seq.newBuilder[DataFile]
     while (it.hasNext) {
@@ -392,10 +529,65 @@ class LakeTable(val spark: SparkSession, val root: String) {
         val rel = p.substring(p.indexOf(root) + root.length + 1)
         val bucket = "_bucket=(\\d+)".r.findFirstMatchIn(p)
           .map(_.group(1).toInt).getOrElse(0)
-        buf += DataFile(rel, bucket, seq, delta)
+        buf += DataFile(rel, bucket, seq, delta,
+          stats = if (statCols.isEmpty) Map.empty else footerStats(f.getPath, statCols))
       }
     }
     buf.result()
+  }
+
+  /** Per-column (min, max) from a parquet footer, canonical form (Long /
+    * Double / String). A column is OMITTED (unknown → never prunes) if
+    * any row group lacks usable statistics for it. */
+  private def footerStats(p: Path, cols: Seq[String]): Map[String, (Any, Any)] = {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    val want = cols.toSet
+    val acc = scala.collection.mutable.Map[String, (Any, Any)]()
+    val bad = scala.collection.mutable.Set[String]()
+    val seen = scala.collection.mutable.Map[String, Int]()
+    def canon(v: Any): Option[Any] = v match {
+      case i: java.lang.Integer => Some(i.longValue)
+      case l: java.lang.Long => Some(l.longValue)
+      case f: java.lang.Float => Some(f.doubleValue)
+      case d: java.lang.Double => Some(d.doubleValue)
+      case b: org.apache.parquet.io.api.Binary => Some(b.toStringUsingUTF8)
+      case _ => None
+    }
+    def lt(a: Any, b: Any): Boolean = (a, b) match {
+      case (x: Long, y: Long) => x < y
+      case (x: Double, y: Double) => x < y
+      case (x: String, y: String) => x < y
+      case _ => false
+    }
+    val reader = ParquetFileReader.open(
+      HadoopInputFile.fromPath(p, spark.sparkContext.hadoopConfiguration))
+    val nBlocks = try {
+      val blocks = reader.getFooter.getBlocks.asScala
+      for (blk <- blocks; c <- blk.getColumns.asScala) {
+        val name = c.getPath.toDotString
+        if (want.contains(name) && !bad.contains(name)) {
+          val st = c.getStatistics
+          val ok = st != null && !st.isEmpty && st.hasNonNullValue
+          val mn = if (ok) canon(st.genericGetMin) else None
+          val mx = if (ok) canon(st.genericGetMax) else None
+          (mn, mx) match {
+            case (Some(a), Some(b)) =>
+              seen(name) = seen.getOrElse(name, 0) + 1
+              acc.get(name) match {
+                case Some((pa, pb)) =>
+                  acc(name) = (if (lt(a, pa)) a else pa, if (lt(pb, b)) b else pb)
+                case None => acc(name) = (a, b)
+              }
+            case _ => bad += name; acc.remove(name)
+          }
+        }
+      }
+      blocks.size
+    } finally reader.close()
+    // a column missing from some row group (all-null chunk dropped by the
+    // writer) has unknown bounds there: keep it only if every block saw it
+    acc.filter { case (n, _) => seen.getOrElse(n, 0) == nBlocks }.toMap
   }
 
   /** Bulk append (initial seed): bucket + write + commit. */

@@ -1,0 +1,158 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.lake.{LakeTable, StatsPruner}
+import org.apache.spark.sql.graftshim.toCatalyst
+
+/** Manifest-stats data skipping: per-file min/max harvested from parquet
+  * footers at commit time; readWhere prunes files (final-row buckets) or
+  * whole buckets (merge-on-read buckets, union-of-ranges) that cannot
+  * match the predicate. The realistic CDC shape — each commit carries a
+  * narrow event-time/offset window — is what makes this powerful: a
+  * time-bounded query at 10^10 rows touches only the commits whose
+  * window overlaps. */
+class LakeDataSkipSpec extends AnyFunSuite with SparkSessionTestWrapper {
+  import spark.implicits._
+
+  private val schema = StructType(Seq(
+    StructField("id", LongType, nullable = false),
+    StructField("name", StringType, nullable = true),
+    StructField("ts", LongType, nullable = true)))
+
+  private def rows(lo: Long, hi: Long): DataFrame =
+    spark.range(lo, hi).select(col("id"),
+      concat(lit("n-"), lpad(col("id").cast("string"), 6, "0")).as("name"),
+      col("id").as("ts"))
+
+  private def newTable(statsCols: Seq[String]): LakeTable = {
+    val tmp = java.nio.file.Files.createTempDirectory("lake-skip").toString
+    val t = new LakeTable(spark, tmp)
+    t.create(schema, Seq("id"), nBuckets = 4, statsColumns = statsCols)
+    t
+  }
+
+  private def kept(t: LakeTable, pred: org.apache.spark.sql.Column): (Int, Int) = {
+    val snap = t.currentSnapshot.get
+    val (a, b, total) = t.pruneForPredicate(snap, toCatalyst(pred))
+    (a.size + b.size, total)
+  }
+
+  test("footer stats record true per-file min/max (long + string)") {
+    val t = newTable(Seq("ts", "name"))
+    t.append(rows(0, 100), "a", 0L)
+    val files = t.currentSnapshot.get.files
+    assert(files.nonEmpty)
+    files.foreach { f =>
+      val df = spark.read.schema(schema).parquet(s"${t.root}/${f.path}")
+      val r = df.agg(min("ts"), max("ts"), min("name"), max("name")).head()
+      assert(f.stats("ts") == ((r.getLong(0), r.getLong(1))))
+      assert(f.stats("name") == ((r.getString(2), r.getString(3))))
+    }
+  }
+
+  test("time-windowed commits: a range predicate prunes old commits' files") {
+    val t = newTable(Seq("ts", "name"))
+    t.append(rows(0, 100), "a", 0L)
+    t.append(rows(100, 200), "a", 1L)
+    t.append(rows(200, 300), "a", 2L)
+    val total = t.currentSnapshot.get.files.size
+    val pred = col("ts") >= 250L
+    val (k, tot) = kept(t, pred)
+    assert(tot == total)
+    assert(k <= total / 3) // only the last commit's files survive
+    // parity with the unpruned read
+    assert(t.readWhere(pred).collect().toSet ==
+      t.read().filter(pred).collect().toSet)
+    // string predicate prunes too (names are zero-padded → ordered)
+    val (ks, _) = kept(t, col("name") >= "n-000250")
+    assert(ks <= total / 3)
+    // equality inside the first window keeps only that window
+    val (ke, _) = kept(t, col("ts") === 50L)
+    assert(ke <= total / 3)
+  }
+
+  test("unsupported predicates and unknown stats never prune; results match") {
+    val t = newTable(Seq("ts"))
+    t.append(rows(0, 100), "a", 0L)
+    val opaque = expr("ts % 7 = 0")
+    val (k, tot) = kept(t, opaque)
+    assert(k == tot)
+    assert(t.readWhere(opaque).collect().toSet ==
+      t.read().filter(opaque).collect().toSet)
+    // stats column never configured → unknown → kept
+    val t2 = newTable(Nil)
+    t2.append(rows(0, 100), "a", 0L)
+    val (k2, tot2) = kept(t2, col("ts") > 1000L)
+    assert(k2 == tot2 && t2.readWhere(col("ts") > 1000L).count() == 0)
+  }
+
+  test("merge-on-read buckets prune at BUCKET granularity (union of ranges)") {
+    val t = newTable(Seq("ts"))
+    t.append(rows(0, 100), "a", 0L)
+    // delta commit with a later window
+    val deltas = rows(100, 150).withColumn("operation", lit("u"))
+      .withColumn("offset", col("id"))
+    t.mergeDeltas(deltas, "mor", 1L)
+    val snap = t.currentSnapshot.get
+    assert(snap.files.exists(_.delta))
+    // predicate inside the delta window: bucket union [0,149] may match →
+    // ALL files of delta buckets kept (base rows are needed to
+    // reconstruct), nothing dropped incorrectly
+    val inWindow = col("ts") >= 120L
+    assert(t.readWhere(inWindow).collect().toSet ==
+      t.read().filter(inWindow).collect().toSet)
+    // predicate beyond every window: whole buckets pruned
+    val (k, tot) = kept(t, col("ts") >= 1000L)
+    assert(k == 0 && tot == snap.files.size)
+    assert(t.readWhere(col("ts") >= 1000L).count() == 0)
+  }
+
+  test("setStatsColumns mid-life: old files unknown (kept), new files prune") {
+    val t = newTable(Nil)
+    t.append(rows(0, 100), "a", 0L)
+    t.setStatsColumns(Seq("ts"))
+    t.append(rows(100, 200), "a", 1L)
+    val snap = t.currentSnapshot.get
+    val old = snap.files.filter(_.seq == 1)
+    val fresh = snap.files.filter(_.seq > 2)
+    assert(old.forall(_.stats.isEmpty) && fresh.forall(_.stats.nonEmpty))
+    val pred = col("ts") >= 150L
+    val (k, tot) = kept(t, pred)
+    // old files kept (unknown), some new files pruned is not guaranteed
+    // per-file — but none of the OLD files may be dropped
+    assert(k >= old.size && k < tot + 1)
+    assert(t.readWhere(pred).collect().toSet ==
+      t.read().filter(pred).collect().toSet)
+  }
+
+  test("cross-file column combination cannot be pruned by per-file logic (union semantics)") {
+    // the classic unsoundness: file1 a∈[20,30] b∈[0,5]; file2 a∈[0,5]
+    // b∈[20,30]; a reconstructed row may take a from file1 and b from
+    // file2 — per-file evaluation would prune both, the union must not
+    val pred = toCatalyst(col("a") >= 10L && col("b") >= 10L)
+    val f1 = Map[String, (Any, Any)]("a" -> ((20L, 30L)), "b" -> ((0L, 5L)))
+    val f2 = Map[String, (Any, Any)]("a" -> ((0L, 5L)), "b" -> ((20L, 30L)))
+    assert(!StatsPruner.mayMatch(pred, f1.get))
+    assert(!StatsPruner.mayMatch(pred, f2.get))
+    val union = Map[String, (Any, Any)]("a" -> ((0L, 30L)), "b" -> ((0L, 30L)))
+    assert(StatsPruner.mayMatch(pred, union.get))
+  }
+
+  test("pruner leaf coverage: IN, STARTSWITH, flipped operands, OR") {
+    val stMap = Map[String, (Any, Any)](
+      "x" -> ((100L, 200L)), "s" -> (("apple", "banana")))
+    val st: String => Option[(Any, Any)] = stMap.get(_)
+    def m(c: org.apache.spark.sql.Column) = StatsPruner.mayMatch(toCatalyst(c), st)
+    assert(m(col("x").isin(150L, 999L)) && !m(col("x").isin(1L, 99L)))
+    assert(m(lit(150L) < col("x")) && !m(lit(300L) < col("x")))
+    assert(m(col("s").startsWith("app")) && !m(col("s").startsWith("zz")))
+    assert(m(col("x") < 50L || col("x") > 150L) && !m(col("x") < 50L || col("x") > 250L))
+    assert(!m(col("x") === 99L) && m(col("x") <=> 100L))
+    // double literal against long stats compares exactly
+    assert(m(col("x") > 150.5) && !m(col("x") > 200.5))
+  }
+}
