@@ -835,6 +835,18 @@ object SparkEntry {
         .filter(abs(col("neighbor_id") - col("query_id")) === VectorOps.PlantedIdOffset)
         .select(col("query_id"), col("neighbor_id"), lit(true).as("found_twin"))
     }),
+    // IVF-flat ANN (the second standard ANN scale path: trained inverted
+    // lists + nProbe, vs LSH's oblivious hashing). Same self-evidencing
+    // shape as ann_lsh: only retrieved-twin rows are emitted, so
+    // rows / (2N) IS recall@1 (recall also asserted vs brute force in
+    // OperatorsScaleSpec).
+    "ann_ivf" -> ((s, dir) => {
+      VectorOps.annIvfTopK(
+        VectorOps.withPlantedTwins(t(s, dir, "embeddings"), "vec_id", "embedding"),
+        "vec_id", "embedding", k = 1, nCentroids = 64, nProbe = 8)
+        .filter(abs(col("neighbor_id") - col("query_id")) === VectorOps.PlantedIdOffset)
+        .select(col("query_id"), col("neighbor_id"), lit(true).as("found_twin"))
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(

@@ -132,6 +132,71 @@ object VectorOps {
       .select("query_id", "neighbor_id", "rank")
   }
 
+  /** IVF-flat ANN (the FAISS IVF shape re-expressed as joins): a small
+    * deterministic coarse quantizer — the corpus vectors at the
+    * `nCentroids` smallest ids, a legitimate random-sample training set
+    * for high-dimensional corpora — partitions the corpus into inverted
+    * lists (every vector joins the broadcast centroid set and keeps its
+    * argmax-cosine centroid). A query probes its `nProbe` nearest
+    * centroids' lists and exact-cosine re-ranks only those candidates.
+    *
+    * Scale shape: assignment is ONE broadcast-join + partial-aggregate
+    * pass, O(n·C) map-side work with no shuffle of the corpus beyond the
+    * list grouping; the probe join is an equi-join on centroid id whose
+    * right side is 1/C of the corpus per list — never O(n²). Compared to
+    * [[annLshTopK]]: IVF adapts to the data distribution (lists follow
+    * density), LSH is oblivious but needs no training pass; both are
+    * provided as the two standard ANN scale paths.
+    *
+    * The argmax is computed with LastByOffset over a quantized ordering
+    * key (sim quantized at 2^-40 · centroid-count granularity, smaller
+    * cid wins exact ties) — a true ObjectHashAggregate; a struct max_by
+    * would fall back to SortAggregate, and a window would re-sort the
+    * whole corpus. */
+  def annIvfTopK(corpus: DataFrame, idCol: String, vecCol: String, k: Int,
+      nCentroids: Int = 64, nProbe: Int = 4): DataFrame = {
+    require(nProbe >= 1 && nProbe <= nCentroids, "nProbe in [1, nCentroids]")
+    val base = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
+    import org.apache.spark.sql.expressions.Window
+    val cw = Window.orderBy(col("id"))
+    val centroids = base.orderBy(col("id")).limit(nCentroids)
+      .withColumn("cid", row_number().over(cw) - 1)
+      .select(col("cid"), col("v").as("_cv"))
+    val scored = base.crossJoin(broadcast(centroids))
+      .select(col("id"), col("v"), col("cid"),
+        cosine(col("v"), col("_cv")).as("sim"))
+    // ordering key: monotone in sim, cid breaks exact float ties
+    def ordKey = (col("sim") * lit((1L << 40).toDouble)).cast("long") *
+      nCentroids - col("cid")
+    val assigned = scored
+      .groupBy(col("id"))
+      .agg(graft.functions.LastByOffset.lastByOffset(
+        struct(col("cid"), col("v")), ordKey).as("_w"))
+      .select(col("id"), col("_w.cid").as("cid"), col("_w.v").as("v"))
+    val lists = assigned.select(col("id").as("neighbor_id"),
+      col("cid"), col("v").as("_cv2"))
+    // query probes: its nProbe nearest centroids (tiny per-query sort —
+    // nCentroids rows per query, rank over the same scored relation)
+    val pw = Window.partitionBy(col("id"))
+      .orderBy(col("sim").desc, col("cid").asc)
+    val probes = scored.withColumn("r", row_number().over(pw))
+      .filter(col("r") <= nProbe)
+      .select(col("id").as("query_id"), col("cid"), col("v").as("_qv"))
+    val scoredPairs = probes.join(lists, Seq("cid"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("_qv"), col("_cv2")).as("sim"))
+      // a (query, neighbor) pair can meet in up to nProbe shared lists:
+      // dedup before ranking
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(max(col("sim")).as("sim"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    scoredPairs.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank")
+  }
+
   /** LSH-blocked embedding near-dup pairs with CROSS-ENGINE-EXACT
     * semantics: pairs whose portable integer RHP signatures
     * ([[graft.functions.PortableRhpSignature]]) differ by ≤ `maxHamming`

@@ -79,6 +79,23 @@ class OperatorsScaleSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(recall >= 0.95, f"recall $recall%.3f < 0.95")
   }
 
+  test("IVF ANN: recall@1 >= 0.95 for planted twins (64 lists, nProbe 8)") {
+    // a twin at cos ≈ 0.99 lands in (nearly) the same inverted list as
+    // its query; nProbe covers the assignment-boundary cases
+    val corpus = VectorOps.withPlantedTwins(embs, "vec_id", "embedding")
+    val truth = VectorOps.cosineTopK(corpus, "vec_id", "embedding",
+        corpus, "vec_id", "embedding", 1)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = VectorOps.annIvfTopK(corpus, "vec_id", "embedding",
+        k = 1, nCentroids = 64, nProbe = 8)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (truth intersect approx).size.toDouble / truth.size
+    info(f"IVF recall@1 = $recall%.3f (64 centroids, nProbe=8)")
+    assert(recall >= 0.95, f"recall $recall%.3f < 0.95")
+  }
+
   test("withPlantedTwins fails loudly when an id would collide with a twin id") {
     import spark.implicits._
     val bad = Seq((VectorOps.PlantedIdOffset + 5, Seq(1f, 0f)),
