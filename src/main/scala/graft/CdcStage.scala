@@ -55,7 +55,9 @@ case class CdcStageConfig(
 
 object CdcStage {
 
-  private val Connectors = Set("mongodb", "mysql", "postgresql", "oracle")
+  /** `mixed` = per-message routing over a multiplexed topic
+    * ([[graft.decode.MixedTopic]]); requires strict, like mongodb. */
+  private val Connectors = Set("mongodb", "mysql", "postgresql", "oracle", "mixed")
 
   /** Resolve the declared schema from the one-of sources. */
   def resolveSchema(cfg: CdcStageConfig)(implicit spark: SparkSession): CdcSchema = {
@@ -118,8 +120,8 @@ object CdcStage {
     }
     require(Connectors.contains(connector),
       s"unsupported connector '$connector'. expected one of ${Connectors.mkString("['", "','", "']")}")
-    require(connector != "mongodb" || cfg.strict,
-      s"connector 'mongodb' requires strict mode.")
+    require((connector != "mongodb" && connector != "mixed") || cfg.strict,
+      s"connector '$connector' requires strict mode.")
 
     // the reference validates nullability + null shapes in non-strict mode
     // too — validate stays on; the validate=false fast path is bench-only
@@ -127,6 +129,9 @@ object CdcStage {
       connector = Some(connector))
     val events = connector match {
       case "mongodb" => MongoDecoder.decode(raw, schema, opts)
+      // per-message routing; applyStrict already dispatches per key on
+      // the event's own connector (Mongo patch chain vs relational)
+      case "mixed" => graft.decode.MixedTopic.decode(raw, schema, opts)
       case _ => EnvelopeDecoder.decodeRelational(raw, schema, opts)
     }
 

@@ -313,6 +313,34 @@ object SparkEntry {
         .groupBy(date_trunc("hour", col("ts")).as("window_start"), col("event_type"))
         .agg(count(lit(1)).as("n"), dsum(col("value")).as("total_value"))),
 
+    "stream_dedup" -> ((s, dir) => {
+      // a REAL streaming run inside the gate: MemoryStream → custom
+      // flatMapGroupsWithState first-occurrence state → memory sink.
+      // Batch 0 carries every event plus in-batch duplicates of the
+      // event_id%5 subset; batch 1 replays those duplicates — the state
+      // survives the micro-batch boundary, so the output is exactly one
+      // row per event_id (duplicates carry identical payloads, making
+      // the in-batch first-pick deterministic).
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val sq = s.sqlContext
+      import s.implicits._
+      val rows = t(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+        .as[(Long, Long, String, Double)].collect().toSeq
+      val dups = rows.filter(_._1 % 5 == 0)
+      val mem = MemoryStream[(Long, Long, String, Double)]
+      val sink = "stream_dedup_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = graft.streaming.StatefulOps.streamingFirstByKey(
+          mem.toDF().toDF("event_id", "user_id", "event_type", "value"),
+          Seq("event_id"))
+        .writeStream.format("memory").queryName(sink).outputMode("append").start()
+      mem.addData(rows ++ dups)
+      q.processAllAvailable()
+      mem.addData(dups)
+      q.processAllAvailable()
+      q.stop()
+      s.table(sink)
+    }),
     "cdc_envelope_roundtrip" -> ((s, dir) => {
       // full engine path: rows → Debezium JSON envelopes (expressions) →
       // EnvelopeDecoder (from_json + coercions) → LWW apply → final state.
@@ -580,6 +608,11 @@ object SparkEntry {
         col("doc_id"),
         TextOps.tokenCount(col("text")).as("n_tokens"),
         TextOps.fingerprint(col("text")).as("fp"))),
+    "doc_rare_bigram" -> ((s, dir) =>
+      // corpus-LM perplexity proxy: per-doc rare-bigram occurrence
+      // counts (integer-exact across engines; see TextOps)
+      TextOps.rareBigramStats(t(s, dir, "documents"), "doc_id", "text",
+        minCount = 2)),
     "doc_quality" -> ((s, dir) =>
       TextOps.qualitySignals(t(s, dir, "documents"), "text")
         .select("doc_id", "n_chars_m", "n_tokens", "n_punct", "n_digits", "n_upper")),
@@ -996,6 +1029,22 @@ object SparkEntry {
         |       ELSE CAST(len(string_split_regex(trim(text), '\s+')) AS INT) END AS n_tokens,
         |  md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
         |FROM documents""".stripMargin,
+    "doc_rare_bigram" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS w
+        |  FROM documents),
+        |bg AS (
+        |  SELECT doc_id, w[i] || ' ' || w[i+1] AS bg
+        |  FROM (SELECT doc_id, w, unnest(range(1, len(w))) AS i FROM toks)),
+        |cnt AS (SELECT bg, count(*) AS c FROM bg GROUP BY bg),
+        |per_doc AS (
+        |  SELECT bg.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |    CAST(sum(CASE WHEN cnt.c < 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_rare
+        |  FROM bg JOIN cnt USING (bg) GROUP BY bg.doc_id)
+        |SELECT d.doc_id,
+        |  COALESCE(p.n_bigrams, 0) AS n_bigrams,
+        |  COALESCE(p.n_rare, 0) AS n_rare
+        |FROM documents d LEFT JOIN per_doc p USING (doc_id)""".stripMargin,
     "doc_quality" ->
       """SELECT doc_id,
         |  CAST(length(text) AS INT) AS n_chars_m,
@@ -1057,6 +1106,8 @@ object SparkEntry {
         |       WHEN c_custkey % 3 = 0 THEN c_custkey + 10000000
         |       ELSE c_custkey END AS BIGINT) AS _offset
         |FROM customer WHERE c_custkey % 7 <> 0""".stripMargin,
+    "stream_dedup" ->
+      "SELECT event_id, user_id, event_type, value FROM events",
     "cdc_lake_skip" ->
       """SELECT event_id, user_id, event_type, value, ts
         |FROM events WHERE epoch_us(ts) >= 1706140800000000""".stripMargin,

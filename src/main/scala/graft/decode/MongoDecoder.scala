@@ -113,13 +113,19 @@ object MongoDecoder {
                   sys.error("expected '$set'/'$unset' for partial updates or '_id' for full replaces")
                 update = scala.collection.mutable.LinkedHashMap(patchDoc.toSeq: _*)
                 update.remove("_id")
+                keyCols.foreach(c => update.remove(c.name))
                 cols.filterNot(_.keyPart).foreach(c => keyMask += c.name)
               }
-              // recover the document id from the Kafka key (reference :630-634)
-              if (!update.contains("_id")) {
+              // recover the document id from the Kafka key (reference
+              // :630-634) — under the DECLARED key column name, not the
+              // literal "_id" the reference assumes (a Mongo-fed table
+              // whose declared key is named differently would otherwise
+              // build its after-image with a placeholder key)
+              val keyName = keyCols.head.name
+              if (!update.contains(keyName)) {
                 val id = keyPayload.getOrElse("id",
                   keyPayload.values.headOption.getOrElse(sys.error("missing key.payload.id")))
-                update("_id") = id
+                update(keyName) = id
                 keyCols.foreach(c => keyMask += c.name)
               }
               (buildRow(cols, update.toMap, topic, offset, placeholders = true), true)

@@ -68,4 +68,46 @@ object TextOps {
     when(tokenCount(text) > 0 &&
          stopwordHits(text) * 100 >= tokenCount(text) * minDensityPct, lit("en"))
       .otherwise(lit("other"))
+
+  /** Word-bigram array of a document (lowercased `[a-z0-9]+` word
+    * tokens): one zip_with pass over the token array; < 2 tokens →
+    * empty. */
+  def wordBigrams(text: Column): Column = {
+    val w = regexp_extract_all(lower(text), lit("[a-z0-9]+"), lit(0))
+    when(size(w) >= 2,
+      zip_with(slice(w, lit(1), size(w) - 1), slice(w, lit(2), size(w) - 1),
+        (a, b) => concat(a, lit(" "), b)))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Corpus-LM quality signal with integer-exact cross-engine semantics:
+    * per document, the total bigram count and how many of its bigram
+    * OCCURRENCES are corpus-rare (corpus frequency < `minCount`) — the
+    * rare-n-gram rate used as a perplexity proxy in training-data
+    * quality filters (a doc whose bigrams the corpus has never seen
+    * again is boilerplate-free but also likely noise; a doc of only
+    * corpus-common bigrams is likely template spam). All counts are
+    * integers, so the DuckDB oracle is value-exact — no float log-prob
+    * portability trap.
+    *
+    * Scale shape: explode → one hash-agg for the corpus bigram
+    * vocabulary → shuffle equi-join occurrences×vocabulary (AQE handles
+    * the skewed head: common bigrams are heavy on the build side but
+    * the join key distributes) → per-doc partial agg. Docs with < 2
+    * tokens survive via the final left join. */
+  def rareBigramStats(df: DataFrame, idCol: String, textCol: String,
+      minCount: Int = 2): DataFrame = {
+    val bg = df.select(col(idCol).as("doc_id"),
+        explode(wordBigrams(col(textCol))).as("bg"))
+    val vocab = bg.groupBy(col("bg")).agg(count(lit(1)).as("c"))
+    val perDoc = bg.join(vocab, "bg")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(when(col("c") < minCount, 1L).otherwise(0L)).as("n_rare"))
+    df.select(col(idCol).as("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("n_rare"), lit(0L)).as("n_rare"))
+  }
 }

@@ -93,10 +93,16 @@ class CdcPipeline(
     // + masked-field application finished inside the bucket-pruned merge
     // join — state is never re-read wholesale (the applyStrict +
     // withInitialState alternative unions the ENTIRE snapshot per batch)
+    // mixed routing consumes the raw batch once per connector family —
+    // persist it for the duration of this batch so envelope construction
+    // and the connector byte-scan don't run twice per branch
+    val rawCached =
+      if (mixed) raw.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+      else raw
     val deltas =
       if (mixed) {
         // per-message connector routing (relational + Mongo in one topic)
-        graft.decode.MixedTopic.strictDeltas(raw, schema, decodeOptions)
+        graft.decode.MixedTopic.strictDeltas(rawCached, schema, decodeOptions)
       } else if (mongo) {
         require(decodeOptions.strict, "connector 'mongodb' requires strict mode")
         CdcApply.mongoStrictDeltas(
@@ -113,6 +119,7 @@ class CdcPipeline(
       else
         table.merge(deltas, checkpointId, batchId,
           strictValidate = decodeOptions.strict)
+    if (mixed) rawCached.unpersist() // the merge above is eager
     val durMs = math.max(1L, (System.nanoTime() - t0) / 1000000)
     snap.lineage.foreach { l =>
       if (l.has("events")) {

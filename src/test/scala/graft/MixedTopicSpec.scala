@@ -157,6 +157,22 @@ class MixedTopicSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(asSet(table.read()) == expected)
   }
 
+  test("CdcStage facade routes connector='mixed' (in-memory view path)") {
+    batch0.unionByName(batch1).createOrReplaceTempView("mixed_in")
+    implicit val s = spark
+    val out = graft.CdcStage.execute(graft.CdcStageConfig(
+      name = "mixed-stage", inputView = "mixed_in", outputView = "mixed_out",
+      schema = Some(schema), connector = Some("mixed"), strict = true))
+    assert(asSet(out) == expected)
+    // strict is mandatory for mixed (Mongo patches are not LWW-mergeable)
+    val ex = intercept[IllegalArgumentException] {
+      graft.CdcStage.execute(graft.CdcStageConfig(
+        name = "mixed-stage2", inputView = "mixed_in", outputView = "mixed_out2",
+        schema = Some(schema), connector = Some("mixed"), strict = false))
+    }
+    assert(ex.getMessage.contains("requires strict mode"))
+  }
+
   test("a key fed by two connector families in one batch is rejected") {
     val my = row(keys.filter(k === 3), mysqlKey,
       relEnvelope("mysql", mysqlKey, nul, origRow, "c"), 0L)
