@@ -99,6 +99,7 @@ class CdcPipeline(
     val rawCached =
       if (mixed) raw.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
       else raw
+    try {
     val deltas =
       if (mixed) {
         // per-message connector routing (relational + Mongo in one topic)
@@ -119,7 +120,6 @@ class CdcPipeline(
       else
         table.merge(deltas, checkpointId, batchId,
           strictValidate = decodeOptions.strict)
-    if (mixed) rawCached.unpersist() // the merge above is eager
     val durMs = math.max(1L, (System.nanoTime() - t0) / 1000000)
     snap.lineage.foreach { l =>
       if (l.has("events")) {
@@ -135,6 +135,12 @@ class CdcPipeline(
       }
     }
     snap.version
+    } finally {
+      // the merges above are eager, so the cache is fully consumed here;
+      // unpersist in finally so a failed batch can't leak the cache
+      // across foreachBatch retries
+      if (mixed) rawCached.unpersist()
+    }
   }
 
   /** Start the streaming query over a raw-envelope stream. */
