@@ -409,18 +409,56 @@ class LakeTable(val spark: SparkSession, val root: String) {
     * Unknown stats / unsupported predicate shapes never prune; the
     * surviving scan re-applies the full predicate. */
   def readWhere(pred: org.apache.spark.sql.Column,
-      version: Option[Int] = None): DataFrame = {
+      version: Option[Int] = None,
+      columns: Option[Seq[String]] = None): DataFrame = {
     val snap = version.map(snapshot).orElse(currentSnapshot)
       .getOrElse(sys.error(s"no table at $root"))
     val e = org.apache.spark.sql.graftshim.toCatalyst(pred)
     val (keptBase, keptMor, total) = pruneForPredicate(snap, e)
     System.err.println(s"[lake-skip] kept=${keptBase.size + keptMor.size}/$total files")
-    readFiles(snap, keptBase).filter(pred)
-      .unionByName(
-        if (keptMor.isEmpty)
-          spark.createDataFrame(
-            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], snap.schema)
-        else reconstructRows(snap, keptMor).filter(pred))
+    // column pruning must reach PAST the MoR reconstruction aggregate
+    // (see readColumns): scan the requested columns plus whatever the
+    // predicate itself reads, project the requested set at the end
+    val outCols = columns.map { cs =>
+      val bad = cs.filterNot(snap.schema.fieldNames.contains)
+      require(bad.isEmpty, s"unknown columns: ${bad.mkString(", ")}")
+      cs
+    }
+    // scan set = requested ∪ predicate-read ∪ key columns (keys keep the
+    // two sides aligned and cost nothing extra in the MoR aggregate,
+    // which groups by them anyway), in schema order
+    val scanCols = outCols.map { cs =>
+      val want = (cs ++ predAttrs(e) ++ snap.keyColumns).toSet
+      snap.schema.fieldNames.toSeq.filter(want.contains)
+    }
+    val baseDf = {
+      val df = readFiles(snap, keptBase)
+      scanCols.map(cs => df.select(cs.map(col): _*)).getOrElse(df)
+    }
+    val morDf =
+      if (keptMor.isEmpty) {
+        val sch = StructType(scanCols
+          .map(cs => snap.schema.fields.filter(f => cs.contains(f.name)))
+          .getOrElse(snap.schema.fields))
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], sch)
+      } else reconstructRows(snap, keptMor,
+        scanCols.map(_.filterNot(snap.keyColumns.contains))).filter(pred)
+    val unioned = baseDf.filter(pred).unionByName(morDf)
+    outCols.map(cs => unioned.select(cs.map(col): _*)).getOrElse(unioned)
+  }
+
+  /** Top-level column names a predicate reads. */
+  private def predAttrs(
+      e: org.apache.spark.sql.catalyst.expressions.Expression): Seq[String] = {
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    import org.apache.spark.sql.catalyst.expressions.AttributeReference
+    val buf = Seq.newBuilder[String]
+    e.foreach {
+      case a: AttributeReference => buf += a.name
+      case u: UnresolvedAttribute => buf += u.name
+      case _ =>
+    }
+    buf.result().distinct
   }
 
   /** (kept final-row files, kept MoR files, total) for `pred`. */

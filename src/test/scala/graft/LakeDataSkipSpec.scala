@@ -129,6 +129,27 @@ class LakeDataSkipSpec extends AnyFunSuite with SparkSessionTestWrapper {
       t.read().filter(pred).collect().toSet)
   }
 
+  test("readWhere with column pruning matches read().filter().select() on both bucket kinds") {
+    val t = newTable(Seq("ts"))
+    t.append(rows(0, 100), "a", 0L)
+    val deltas = rows(50, 150).withColumn("operation", lit("u"))
+      .withColumn("offset", col("id"))
+    t.mergeDeltas(deltas, "mor", 1L) // all buckets now MoR
+    val pred = col("ts") >= 40L && col("ts") < 130L
+    val expect = t.read().filter(pred).select("id", "name").collect().toSet
+    val got = t.readWhere(pred, columns = Some(Seq("id", "name"))).collect().toSet
+    assert(got == expect)
+    // predicate column (ts) not in the projection: still filters correctly
+    val t2 = newTable(Seq("ts"))
+    t2.append(rows(0, 100), "a", 0L) // pure base buckets
+    val got2 = t2.readWhere(col("ts") >= 90L, columns = Some(Seq("name"))).collect()
+      .map(_.getString(0)).toSet
+    assert(got2 == (90L until 100L).map(i => f"n-$i%06d").toSet)
+    intercept[IllegalArgumentException] {
+      t2.readWhere(col("ts") >= 0L, columns = Some(Seq("nope")))
+    }
+  }
+
   test("cross-file column combination cannot be pruned by per-file logic (union semantics)") {
     // the classic unsoundness: file1 a∈[20,30] b∈[0,5]; file2 a∈[0,5]
     // b∈[20,30]; a reconstructed row may take a from file1 and b from
