@@ -157,6 +157,32 @@ class MixedTopicSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(asSet(table.read()) == expected)
   }
 
+  test("auto per-message folding is a drop-in for plan-time folding (differential)") {
+    import graft.decode.EnvelopeDecoder
+    def rows(df: org.apache.spark.sql.DataFrame): Set[String] =
+      df.select(col("key"), col("offset"), col("connector"), col("operation"),
+        col("before"), col("after"), col("pk"))
+        .collect().map(_.toString).toSet
+    val strictOpts = DecodeOptions(strict = true, validate = true)
+    // pg-only batch: connector=None (per-row dispatch) must decode
+    // byte-identically to the static postgresql fold
+    val pg = row(keys.filter(k % 3 === 1), pgKey,
+      relEnvelope("postgresql", pgKey, nul, origRowLc, "c"), 0L)
+    assert(rows(EnvelopeDecoder.decodeRelational(pg, schema, strictOpts)) ==
+      rows(EnvelopeDecoder.decodeRelational(pg, schema,
+        strictOpts.copy(connector = Some("postgresql")))))
+    // mysql-only batch: auto must equal the static mysql (no-fold) plan
+    val my = row(keys.filter(k % 3 === 0), mysqlKey,
+      relEnvelope("mysql", mysqlKey, nul, origRow, "c"), 0L)
+    assert(rows(EnvelopeDecoder.decodeRelational(my, schema, strictOpts)) ==
+      rows(EnvelopeDecoder.decodeRelational(my, schema,
+        strictOpts.copy(connector = Some("mysql")))))
+    // mixed routing over a uniform relational topic degenerates to
+    // decodeRelational exactly
+    assert(rows(MixedTopic.decode(my, schema, opts)) ==
+      rows(EnvelopeDecoder.decodeRelational(my, schema, strictOpts)))
+  }
+
   test("CdcStage facade routes connector='mixed' (in-memory view path)") {
     batch0.unionByName(batch1).createOrReplaceTempView("mixed_in")
     implicit val s = spark
