@@ -316,6 +316,9 @@ object SparkEntry {
     "stream_dedup" -> ((s, dir) => {
       // a REAL streaming run inside the gate: MemoryStream → custom
       // flatMapGroupsWithState first-occurrence state → memory sink.
+      // (The collect feeds the TEST harness's MemoryStream — the
+      // operator itself is fully distributed; production input is a
+      // Kafka/file stream source.)
       // Batch 0 carries every event plus in-batch duplicates of the
       // event_id%5 subset; batch 1 replays those duplicates — the state
       // survives the micro-batch boundary, so the output is exactly one
@@ -456,6 +459,22 @@ object SparkEntry {
       table.append(ev.filter(col("ts_us") >= t2), "w", 2L)
       table.readWhere(col("ts_us") >= t3)
         .select("event_id", "user_id", "event_type", "value", "ts")
+    }),
+    "cdc_lake_lookup" -> ((s, dir) => {
+      // bucket-pruned point lookup: hash the requested keys driver-side
+      // with the writers' bucketing expression, scan ONLY those buckets,
+      // broadcast-semi-join to the exact keys. At 10^10 rows this is the
+      // row-lookup primitive (the [lake-lookup] stderr line shows the
+      // bucket fraction scanned).
+      val ev = t(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+      val tmp = java.nio.file.Files.createTempDirectory("lake-lookup-gate").toString
+      val table = new graft.lake.LakeTable(s, tmp)
+      table.create(ev.schema, Seq("event_id"), nBuckets = 32)
+      table.append(ev, "a", 0L)
+      val wanted = ev.filter(col("event_id") % 97 === 0)
+        .select(col("event_id")).collect().map(r => Seq[Any](r.getLong(0))).toSeq
+      table.readKeys(wanted)
     }),
     "cdc_mixed_topic" -> ((s, dir) => {
       // ONE topic, THREE connectors, routed PER MESSAGE (the reference
@@ -1111,6 +1130,9 @@ object SparkEntry {
     "cdc_lake_skip" ->
       """SELECT event_id, user_id, event_type, value, ts
         |FROM events WHERE epoch_us(ts) >= 1706140800000000""".stripMargin,
+    "cdc_lake_lookup" ->
+      """SELECT event_id, user_id, event_type, value
+        |FROM events WHERE event_id % 97 = 0""".stripMargin,
     "cdc_mixed_topic" ->
       // one topic, three connectors routed per message; batch 1 updates:
       // mysql ' rev2' (k%6==0, declared-cased wire names), postgres

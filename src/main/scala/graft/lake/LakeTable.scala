@@ -447,6 +447,40 @@ class LakeTable(val spark: SparkSession, val root: String) {
     outCols.map(cs => unioned.select(cs.map(col): _*)).getOrElse(unioned)
   }
 
+  /** Bucket-pruned point lookup: read only the buckets that can hold
+    * the given key tuples (the key hash is computed driver-side with
+    * the SAME murmur3 expression the writers bucket by), then filter to
+    * the exact keys. At 10^10 rows with 4096 buckets, a 100-key lookup
+    * scans ≤100 buckets ≈ 2.4% of the table — composes with the
+    * merge-on-read reconstruction, which then aggregates only those
+    * buckets' files. `keys` are in declared key-column order. */
+  def readKeys(keys: Seq[Seq[Any]], version: Option[Int] = None): DataFrame = {
+    val snap = version.map(snapshot).orElse(currentSnapshot)
+      .getOrElse(sys.error(s"no table at $root"))
+    require(keys.nonEmpty, "readKeys: empty key set")
+    require(keys.forall(_.length == snap.keyColumns.length),
+      s"readKeys: each key must have ${snap.keyColumns.length} parts")
+    import org.apache.spark.sql.Row
+    val keySchema = StructType(snap.schema.fields
+      .filter(f => snap.keyColumns.contains(f.name)))
+    val keyDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(keys.map(Row.fromSeq), 1), keySchema)
+    val buckets = keyDf
+      .select(bucketCol(snap.keyColumns, snap.nBuckets).as("_b"))
+      .distinct().collect().map(_.getInt(0)).toSet
+    val files = snap.files.filter(f => buckets.contains(f.bucket))
+    System.err.println(s"[lake-lookup] buckets=${buckets.size}/${snap.nBuckets} files=${files.size}/${snap.files.size}")
+    val deltaBuckets = files.filter(_.delta).map(_.bucket).toSet
+    val (morFiles, pureBase) = files.partition(f => deltaBuckets.contains(f.bucket))
+    val rows =
+      if (morFiles.isEmpty) readFiles(snap, pureBase)
+      else readFiles(snap, pureBase)
+        .unionByName(reconstructRows(snap, morFiles))
+    // exact-key filter via a broadcast semi join (an IN list of tuples
+    // does not push down; the tiny key set broadcast does)
+    rows.join(broadcast(keyDf), snap.keyColumns, "left_semi")
+  }
+
   /** Top-level column names a predicate reads. */
   private def predAttrs(
       e: org.apache.spark.sql.catalyst.expressions.Expression): Seq[String] = {

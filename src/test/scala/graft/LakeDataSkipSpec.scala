@@ -150,6 +150,22 @@ class LakeDataSkipSpec extends AnyFunSuite with SparkSessionTestWrapper {
     }
   }
 
+  test("readKeys: bucket-pruned point lookup over base and MoR buckets") {
+    val t = newTable(Nil)
+    t.append(rows(0, 100), "a", 0L)
+    val got = t.readKeys(Seq(Seq(5L), Seq(42L), Seq(999L)))
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(got == Set(5L, 42L)) // absent keys just don't match
+    // overlay an update so the lookup crosses the MoR reconstruction
+    val deltas = rows(42, 43).withColumn("name", lit("updated"))
+      .withColumn("operation", lit("u")).withColumn("offset", col("id"))
+    t.mergeDeltas(deltas, "mor", 1L)
+    assert(t.readKeys(Seq(Seq(42L))).select("name").head.getString(0) == "updated")
+    assert(t.readKeys(Seq(Seq(5L))).select("name").head.getString(0) == "n-000005")
+    intercept[IllegalArgumentException] { t.readKeys(Nil) }
+    intercept[IllegalArgumentException] { t.readKeys(Seq(Seq(1L, 2L))) }
+  }
+
   test("cross-file column combination cannot be pruned by per-file logic (union semantics)") {
     // the classic unsoundness: file1 a∈[20,30] b∈[0,5]; file2 a∈[0,5]
     // b∈[20,30]; a reconstructed row may take a from file1 and b from
