@@ -907,12 +907,19 @@ class LakeTable(val spark: SparkSession, val root: String) {
     } else withBucket
 
     val obs = Observation()
-    val observed = validated.observe(obs,
+    val aggs = Seq(
       eventsCol.as("events"), count(lit(1)).cast("long").as("keys"),
       sum(when(col("operation").isin("c", "r"), 1L).otherwise(0L)).as("inserts"),
       sum(when(col("operation") === "u", 1L).otherwise(0L)).as("updates"),
       sum(when(col("operation") === "d", 1L).otherwise(0L)).as("deletes"),
-      min(col("offset")).as("offsetMin"), max(col("offset")).as("offsetMax"))
+      min(col("offset")).as("offsetMin"), max(col("offset")).as("offsetMax")) ++
+      // a _patch_mask COLUMN with no actual patch rows (mixed-topic
+      // batches are mostly full rows) must not condemn every read of
+      // this commit to the patch fold — count real masks in-flight
+      (if (hasPatch)
+        Seq(sum(when(col("_patch_mask").isNotNull, 1L).otherwise(0L)).as("patchRows"))
+      else Nil)
+    val observed = validated.observe(obs, aggs.head, aggs.tail: _*)
 
     val commitRel = s"data/commit-${cur.version + 1}"
     val commitDir = new Path(root, commitRel)
@@ -926,8 +933,11 @@ class LakeTable(val spark: SparkSession, val root: String) {
       .write.partitionBy("_bucket").parquet(commitDir.toString)
     val writeMs = (System.nanoTime() - tWrite0) / 1000000
     val m = obs.get
+    val anyPatchRow = hasPatch &&
+      Option(m.getOrElse("patchRows", null))
+        .exists(_.asInstanceOf[Number].longValue > 0)
     val newFiles = listCommitFiles(commitDir, cur.version + 1, delta = true)
-      .map(_.copy(patch = hasPatch))
+      .map(_.copy(patch = anyPatchRow))
     if (strictValidate) withBucket.unpersist()
 
     val durMs = (System.nanoTime() - t0) / 1000000

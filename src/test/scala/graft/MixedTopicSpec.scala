@@ -151,7 +151,12 @@ class MixedTopicSpec extends AnyFunSuite with SparkSessionTestWrapper {
     val pipe = new graft.streaming.CdcPipeline(spark, schema, table, opts,
       "mixed-mor", mergeOnRead = true, autoCompact = 0)
     pipe.processBatch(batch0, 0L)
+    // batch 0 carries the _patch_mask COLUMN but zero actual patch rows
+    // (all inserts): its files must NOT be patch-flagged, so reads use
+    // the cheaper LWW reconstruction until a real patch commit lands
+    assert(table.currentSnapshot.get.files.forall(!_.patch))
     pipe.processBatch(batch1, 1L)
+    assert(table.currentSnapshot.get.files.exists(_.patch))
     // PATCH deltas present → the read exercises PatchFoldBySeq over the
     // mixed commit (relational rows fold as full overlays, mask null)
     assert(asSet(table.read()) == expected)

@@ -110,8 +110,11 @@ class MongoDecodeSpec extends AnyFunSuite with SparkSessionTestWrapper {
       case ((lo, hi), i) =>
         pipe.processBatch(raw.filter(s"offset >= $lo and offset < $hi"), i.toLong)
     }
-    // nothing was rewritten: every data file is a patch-capable delta
-    assert(table.currentSnapshot.get.files.forall(f => f.delta && f.patch))
+    // nothing was rewritten: every data file is a delta; only commits
+    // that actually carried patch-mask rows are patch-flagged (the
+    // initial all-create commit reads via the cheaper LWW fold)
+    assert(table.currentSnapshot.get.files.forall(_.delta))
+    assert(table.currentSnapshot.get.files.exists(_.patch))
     assert(lakeState(table) == oracle(wl))
     // compaction folds patches into base files; state unchanged
     table.compact()
