@@ -20,28 +20,13 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // a failing query must be VISIBLE in the bench artifact (not a silent
-    // -1): record the error class per query and surface the count
-    val results: Map[String, Either[String, Double]] =
-      SparkEntry.queries.map { case (name, fn) =>
-        val t0 = System.nanoTime()
-        val r =
-          try { fn(spark, sfDir).count(); Right((System.nanoTime() - t0) / 1e9) }
-          catch { case e: Throwable => Left(e.getClass.getSimpleName) }
-        name -> r
-      }
-    val qs = results.map {
-      case (k, Right(v)) => s""""$k":$v"""
-      case (k, Left(e)) => s""""$k":{"err":"$e"}"""
-    }.mkString("{", ",", "}")
-    val failed = results.collect { case (k, Left(_)) => k }.toSeq.sorted
-    val errJson =
-      if (failed.isEmpty) ""
-      else s""","queryErrors":${failed.map("\"" + _ + "\"").mkString("[", ",", "]")}"""
-    val total = results.values.collect { case Right(v) => v }.sum
-
-    // CDC apply throughput: 1M synthesized Debezium events → decode →
-    // LWW reduce → bucketed lake MERGE (2 incremental batches)
+    // CDC apply throughput FIRST — before the 50+ gate queries: a JVM's
+    // 2nd measurement can be up to 2× slower from accumulated GC/codegen
+    // state (BENCH.md methodology), and this is the headline engine number.
+    // The query sweep below then runs in the "dirty" tail where per-query
+    // noise matters less (each is independently short).
+    // 1M synthesized Debezium events → decode → LWW reduce → bucketed
+    // lake MERGE (2 incremental batches).
     val cdcJson = try {
       import org.apache.spark.sql.functions.{col, max}
       val nEvents = sys.env.getOrElse("SPARK_GRAFT_BENCH_EVENTS", "1000000").toLong
@@ -87,6 +72,26 @@ object Bench {
       require(finalRows == expect, s"bench parity failure: $finalRows != $expect")
       s""","cdcApply":{"events":$actual,"wallSec":$wall,"eventsPerSec":${(actual / wall).toLong},"finalRows":$finalRows}"""
     } catch { case e: Throwable => s""","cdcApplyError":"${e.getClass.getSimpleName}"""" }
+
+    // a failing query must be VISIBLE in the bench artifact (not a silent
+    // -1): record the error class per query and surface the count
+    val results: Map[String, Either[String, Double]] =
+      SparkEntry.queries.map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        val r =
+          try { fn(spark, sfDir).count(); Right((System.nanoTime() - t0) / 1e9) }
+          catch { case e: Throwable => Left(e.getClass.getSimpleName) }
+        name -> r
+      }
+    val qs = results.map {
+      case (k, Right(v)) => s""""$k":$v"""
+      case (k, Left(e)) => s""""$k":{"err":"$e"}"""
+    }.mkString("{", ",", "}")
+    val failed = results.collect { case (k, Left(_)) => k }.toSeq.sorted
+    val errJson =
+      if (failed.isEmpty) ""
+      else s""","queryErrors":${failed.map("\"" + _ + "\"").mkString("[", ",", "]")}"""
+    val total = results.values.collect { case Right(v) => v }.sum
 
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"$errJson$cdcJson}""")
     spark.stop()

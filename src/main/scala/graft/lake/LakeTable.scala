@@ -85,7 +85,9 @@ class LakeTable(val spark: SparkSession, val root: String) {
     * ([[readWhere]]). Absent = unknown, never prunes. */
   case class DataFile(path: String, bucket: Int, seq: Int = 0,
       delta: Boolean = false, patch: Boolean = false,
-      stats: Map[String, (Any, Any)] = Map.empty)
+      stats: Map[String, (Any, Any)] = Map.empty,
+      nulls: Map[String, Long] = Map.empty,
+      rows: Long = -1L)
   /** Immutable list of data files, stored once under `metadata/` and
     * reused by every later snapshot that doesn't remove one of its
     * files. An empty `path` marks a legacy inline file list (pre-manifest
@@ -126,11 +128,17 @@ class LakeTable(val spark: SparkSession, val root: String) {
         else f.get("stats").fields().asScala.map { e =>
           e.getKey -> ((statVal(e.getValue.get("min")), statVal(e.getValue.get("max"))))
         }.toMap
+      val nulls: Map[String, Long] =
+        if (!f.has("nulls")) Map.empty
+        else f.get("nulls").fields().asScala.map { e =>
+          e.getKey -> e.getValue.asLong()
+        }.toMap
       DataFile(f.get("path").asText(), f.get("bucket").asInt(),
         if (f.has("seq")) f.get("seq").asInt() else 0,
         f.has("delta") && f.get("delta").asBoolean(),
         f.has("patch") && f.get("patch").asBoolean(),
-        stats)
+        stats, nulls,
+        if (f.has("rows")) f.get("rows").asLong() else -1L)
     }.toSeq
 
   private def statVal(n: JsonNode): Any =
@@ -179,6 +187,11 @@ class LakeTable(val spark: SparkSession, val root: String) {
     files.foreach { f =>
       val o = arr.addObject(); o.put("path", f.path); o.put("bucket", f.bucket)
       o.put("seq", f.seq); o.put("delta", f.delta); o.put("patch", f.patch)
+      if (f.rows >= 0) o.put("rows", f.rows)
+      if (f.nulls.nonEmpty) {
+        val nn = o.putObject("nulls")
+        f.nulls.foreach { case (c, n) => nn.put(c, n) }
+      }
       if (f.stats.nonEmpty) {
         val st = o.putObject("stats")
         f.stats.foreach { case (c, (mn, mx)) =>
@@ -345,6 +358,26 @@ class LakeTable(val spark: SparkSession, val root: String) {
   private def bucketCol(keyColumns: Seq[String], nBuckets: Int) =
     pmod(hash(keyColumns.map(col): _*), lit(nBuckets))
 
+  /** Driver-side evaluation of [[bucketCol]] for a set of key tuples:
+    * binds the SAME catalyst nodes (`Pmod(Murmur3Hash(seed=42), n)`) to
+    * the key schema and evals per key — identical bucket routing to the
+    * column expression by construction (pinned by LakeDataSkipSpec's
+    * parity test), with no job launch per lookup. */
+  private def driverBuckets(keys: Seq[Seq[Any]], keySchema: StructType,
+      nBuckets: Int): Set[Int] = {
+    import org.apache.spark.sql.catalyst.{CatalystTypeConverters, InternalRow}
+    import org.apache.spark.sql.catalyst.expressions.{BoundReference, Murmur3Hash, Pmod, Literal => CatLit}
+    val refs = keySchema.fields.zipWithIndex.map { case (f, i) =>
+      BoundReference(i, f.dataType, f.nullable)
+    }
+    val expr = Pmod(new Murmur3Hash(refs.toSeq), CatLit(nBuckets))
+    val conv = CatalystTypeConverters.createToCatalystConverter(keySchema)
+    keys.map { k =>
+      expr.eval(conv(org.apache.spark.sql.Row.fromSeq(k)).asInstanceOf[InternalRow])
+        .asInstanceOf[Int]
+    }.toSet
+  }
+
   /** Write parallelism is DECOUPLED from the table's bucket count: when
     * the session has more shuffle partitions than the table has buckets,
     * rows are additionally salted inside each bucket so a commit writes
@@ -461,13 +494,18 @@ class LakeTable(val spark: SparkSession, val root: String) {
     require(keys.forall(_.length == snap.keyColumns.length),
       s"readKeys: each key must have ${snap.keyColumns.length} parts")
     import org.apache.spark.sql.Row
-    val keySchema = StructType(snap.schema.fields
-      .filter(f => snap.keyColumns.contains(f.name)))
+    // key schema in DECLARED key-column order (schema field order would
+    // silently hash swapped parts for a multi-part key declared out of
+    // schema order — wrong buckets, empty or wrong lookups)
+    val keySchema = StructType(
+      snap.keyColumns.map(n => snap.schema(snap.schema.fieldIndex(n))))
+    // bucket ids evaluated DRIVER-side with the same catalyst expression
+    // the writers bucket by (pmod(murmur3, n) over the key columns in
+    // declared order) — no Spark job per point lookup
+    val buckets = driverBuckets(keys, keySchema, snap.nBuckets)
+    // LocalRelation (no RDD job) — only used as the broadcast semi-join side
     val keyDf = spark.createDataFrame(
-      spark.sparkContext.parallelize(keys.map(Row.fromSeq), 1), keySchema)
-    val buckets = keyDf
-      .select(bucketCol(snap.keyColumns, snap.nBuckets).as("_b"))
-      .distinct().collect().map(_.getInt(0)).toSet
+      keys.map(Row.fromSeq).asJava, keySchema)
     val files = snap.files.filter(f => buckets.contains(f.bucket))
     System.err.println(s"[lake-lookup] buckets=${buckets.size}/${snap.nBuckets} files=${files.size}/${snap.files.size}")
     val deltaBuckets = files.filter(_.delta).map(_.bucket).toSet
@@ -495,35 +533,53 @@ class LakeTable(val spark: SparkSession, val root: String) {
     buf.result().distinct
   }
 
+  /** Declared-type lookup for cast-safety in the pruner. */
+  private def colTypeOf(snap: Snapshot)(c: String): Option[DataType] =
+    snap.schema.fields.find(_.name == c).map(_.dataType)
+
   /** (kept final-row files, kept MoR files, total) for `pred`. */
   private[graft] def pruneForPredicate(snap: Snapshot,
       e: org.apache.spark.sql.catalyst.expressions.Expression)
       : (Seq[DataFile], Seq[DataFile], Int) = {
     val deltaBuckets = snap.files.filter(_.delta).map(_.bucket).toSet
     val (morFiles, pureBase) = snap.files.partition(f => deltaBuckets.contains(f.bucket))
-    val keptBase = pureBase.filter(f => StatsPruner.mayMatch(e, f.stats.get))
+    val keptBase = pureBase.filter { f =>
+      StatsPruner.mayMatch(e, StatsPruner.FileStats(
+        f.stats.get, f.nulls.get,
+        if (f.rows >= 0) Some(f.rows) else None, colTypeOf(snap)))
+    }
     val keptMor = morFiles.groupBy(_.bucket).values.filter { fs =>
-      StatsPruner.mayMatch(e, mergedStats(fs).get)
+      StatsPruner.mayMatch(e, mergedStats(fs, colTypeOf(snap)))
     }.flatten.toSeq
     (keptBase, keptMor, snap.files.size)
   }
 
-  /** Union of the files' ranges; a column is known only if EVERY file
-    * knows it (a file with unknown bounds can hold anything). */
-  private def mergedStats(fs: Iterable[DataFile]): Map[String, (Any, Any)] = {
-    def lt(a: Any, b: Any): Boolean = (a, b) match {
-      case (x: Long, y: Long) => x < y
-      case (x: Double, y: Double) => x < y
-      case (x: String, y: String) => x < y
-      case _ => false
-    }
+  /** Union of the files' statistics for bucket-granularity MoR pruning; a
+    * column's range is known only if EVERY file knows it (a file with
+    * unknown bounds can hold anything). Null counts / row counts are only
+    * sound for LWW reconstruction, where every final row is one input
+    * file's row: no null in any file ⇒ no null in the output, all-null in
+    * every file ⇒ all-null output. PATCH folds can COMBINE columns across
+    * files (and a presence-violating first patch synthesizes nulls), so a
+    * bucket containing any patch file keeps range stats only. */
+  private def mergedStats(fs: Iterable[DataFile],
+      colType: String => Option[DataType]): StatsPruner.FileStats = {
+    def lt(a: Any, b: Any): Boolean = StatsPruner.cmp(a, b).exists(_ < 0)
     val cols = fs.map(_.stats.keySet).reduceOption(_ intersect _).getOrElse(Set.empty)
-    cols.map { c =>
+    val ranges = cols.map { c =>
       val vs = fs.map(_.stats(c))
       c -> vs.reduce[(Any, Any)] { case ((a1, b1), (a2, b2)) =>
         (if (lt(a2, a1)) a2 else a1, if (lt(b1, b2)) b2 else b1)
       }
     }.toMap
+    val anyPatch = fs.exists(_.patch)
+    val nullCols =
+      if (anyPatch) Set.empty[String]
+      else fs.map(_.nulls.keySet).reduceOption(_ intersect _).getOrElse(Set.empty)
+    val nulls = nullCols.map(c => c -> fs.map(_.nulls(c)).sum).toMap
+    val rowCount =
+      if (anyPatch || fs.exists(_.rows < 0)) None else Some(fs.map(_.rows).sum)
+    StatsPruner.FileStats(ranges.get, nulls.get, rowCount, colType)
   }
 
   private def readFiles(snap: Snapshot, files: Seq[DataFile]): DataFrame =
@@ -601,23 +657,33 @@ class LakeTable(val spark: SparkSession, val root: String) {
         val rel = p.substring(p.indexOf(root) + root.length + 1)
         val bucket = "_bucket=(\\d+)".r.findFirstMatchIn(p)
           .map(_.group(1).toInt).getOrElse(0)
+        val (ranges, nulls, rows) =
+          if (statCols.isEmpty) (Map.empty[String, (Any, Any)], Map.empty[String, Long], -1L)
+          else footerStats(f.getPath, statCols)
         buf += DataFile(rel, bucket, seq, delta,
-          stats = if (statCols.isEmpty) Map.empty else footerStats(f.getPath, statCols))
+          stats = ranges, nulls = nulls, rows = rows)
       }
     }
     buf.result()
   }
 
-  /** Per-column (min, max) from a parquet footer, canonical form (Long /
-    * Double / String). A column is OMITTED (unknown → never prunes) if
-    * any row group lacks usable statistics for it. */
-  private def footerStats(p: Path, cols: Seq[String]): Map[String, (Any, Any)] = {
+  /** Per-column (min, max) + null counts + row count from a parquet
+    * footer, canonical form (Long / Double / String). A column's range is
+    * OMITTED (unknown → never prunes) if any row group lacks usable
+    * value statistics for it; its null count is OMITTED if any row group
+    * has numNulls unset (null counts survive all-null chunks, where the
+    * range cannot — an all-null file still prunes `IS NOT NULL`). */
+  private def footerStats(p: Path, cols: Seq[String])
+      : (Map[String, (Any, Any)], Map[String, Long], Long) = {
     import org.apache.parquet.hadoop.ParquetFileReader
     import org.apache.parquet.hadoop.util.HadoopInputFile
     val want = cols.toSet
     val acc = scala.collection.mutable.Map[String, (Any, Any)]()
     val bad = scala.collection.mutable.Set[String]()
     val seen = scala.collection.mutable.Map[String, Int]()
+    val nullAcc = scala.collection.mutable.Map[String, Long]()
+    val nullSeen = scala.collection.mutable.Map[String, Int]()
+    var rowCount = 0L
     def canon(v: Any): Option[Any] = v match {
       case i: java.lang.Integer => Some(i.longValue)
       case l: java.lang.Long => Some(l.longValue)
@@ -626,32 +692,36 @@ class LakeTable(val spark: SparkSession, val root: String) {
       case b: org.apache.parquet.io.api.Binary => Some(b.toStringUsingUTF8)
       case _ => None
     }
-    def lt(a: Any, b: Any): Boolean = (a, b) match {
-      case (x: Long, y: Long) => x < y
-      case (x: Double, y: Double) => x < y
-      case (x: String, y: String) => x < y
-      case _ => false
-    }
+    def lt(a: Any, b: Any): Boolean = StatsPruner.cmp(a, b).exists(_ < 0)
     val reader = ParquetFileReader.open(
       HadoopInputFile.fromPath(p, spark.sparkContext.hadoopConfiguration))
     val nBlocks = try {
       val blocks = reader.getFooter.getBlocks.asScala
-      for (blk <- blocks; c <- blk.getColumns.asScala) {
-        val name = c.getPath.toDotString
-        if (want.contains(name) && !bad.contains(name)) {
-          val st = c.getStatistics
-          val ok = st != null && !st.isEmpty && st.hasNonNullValue
-          val mn = if (ok) canon(st.genericGetMin) else None
-          val mx = if (ok) canon(st.genericGetMax) else None
-          (mn, mx) match {
-            case (Some(a), Some(b)) =>
-              seen(name) = seen.getOrElse(name, 0) + 1
-              acc.get(name) match {
-                case Some((pa, pb)) =>
-                  acc(name) = (if (lt(a, pa)) a else pa, if (lt(pb, b)) b else pb)
-                case None => acc(name) = (a, b)
+      for (blk <- blocks) {
+        rowCount += blk.getRowCount
+        for (c <- blk.getColumns.asScala) {
+          val name = c.getPath.toDotString
+          if (want.contains(name)) {
+            val st = c.getStatistics
+            if (st != null && !st.isEmpty && st.isNumNullsSet) {
+              nullSeen(name) = nullSeen.getOrElse(name, 0) + 1
+              nullAcc(name) = nullAcc.getOrElse(name, 0L) + st.getNumNulls
+            }
+            if (!bad.contains(name)) {
+              val ok = st != null && !st.isEmpty && st.hasNonNullValue
+              val mn = if (ok) canon(st.genericGetMin) else None
+              val mx = if (ok) canon(st.genericGetMax) else None
+              (mn, mx) match {
+                case (Some(a), Some(b)) =>
+                  seen(name) = seen.getOrElse(name, 0) + 1
+                  acc.get(name) match {
+                    case Some((pa, pb)) =>
+                      acc(name) = (if (lt(a, pa)) a else pa, if (lt(pb, b)) b else pb)
+                    case None => acc(name) = (a, b)
+                  }
+                case _ => bad += name; acc.remove(name)
               }
-            case _ => bad += name; acc.remove(name)
+            }
           }
         }
       }
@@ -659,7 +729,9 @@ class LakeTable(val spark: SparkSession, val root: String) {
     } finally reader.close()
     // a column missing from some row group (all-null chunk dropped by the
     // writer) has unknown bounds there: keep it only if every block saw it
-    acc.filter { case (n, _) => seen.getOrElse(n, 0) == nBlocks }.toMap
+    (acc.filter { case (n, _) => seen.getOrElse(n, 0) == nBlocks }.toMap,
+      nullAcc.filter { case (n, _) => nullSeen.getOrElse(n, 0) == nBlocks }.toMap,
+      rowCount)
   }
 
   /** Bulk append (initial seed): bucket + write + commit. */

@@ -132,56 +132,94 @@ object VectorOps {
       .select("query_id", "neighbor_id", "rank")
   }
 
-  /** IVF-flat ANN (the FAISS IVF shape re-expressed as joins): a small
-    * deterministic coarse quantizer — the corpus vectors at the
-    * `nCentroids` smallest ids, a legitimate random-sample training set
-    * for high-dimensional corpora — partitions the corpus into inverted
-    * lists (every vector joins the broadcast centroid set and keeps its
-    * argmax-cosine centroid). A query probes its `nProbe` nearest
-    * centroids' lists and exact-cosine re-ranks only those candidates.
-    *
-    * Scale shape: assignment is ONE broadcast-join + partial-aggregate
-    * pass, O(n·C) map-side work with no shuffle of the corpus beyond the
-    * list grouping; the probe join is an equi-join on centroid id whose
-    * right side is 1/C of the corpus per list — never O(n²). Compared to
-    * [[annLshTopK]]: IVF adapts to the data distribution (lists follow
-    * density), LSH is oblivious but needs no training pass; both are
-    * provided as the two standard ANN scale paths.
-    *
-    * The argmax is computed with LastByOffset over a quantized ordering
-    * key (sim quantized at 2^-40 · centroid-count granularity, smaller
-    * cid wins exact ties) — a true ObjectHashAggregate; a struct max_by
-    * would fall back to SortAggregate, and a window would re-sort the
-    * whole corpus. */
-  def annIvfTopK(corpus: DataFrame, idCol: String, vecCol: String, k: Int,
-      nCentroids: Int = 64, nProbe: Int = 4): DataFrame = {
-    require(nProbe >= 1 && nProbe <= nCentroids, "nProbe in [1, nCentroids]")
+  /** Per-row centroid ranking: array of (negScore, cid) structs sorted
+    * ascending — element 1 is the nearest centroid, the first `p` are the
+    * probe set. Score is dot(v, c)/‖c‖ with ‖c‖ precomputed driver-side:
+    * dividing by ‖v‖ is the same positive scalar for every centroid, so
+    * the RANKING equals cosine ranking at half the arithmetic, and no
+    * per-row norm(v) sub-expression gets duplicated across the C branches
+    * (CollapseProject would inline it into each). Entirely map-side
+    * whole-stage-codegen work: C native-expression dot products + one
+    * C-element sort per row — no shuffle, no window. */
+  private def centroidRanks(v: Column, cents: Array[Array[Float]]): Column =
+    sort_array(array(cents.zipWithIndex.map { case (cv, i) =>
+      val cn = math.sqrt(cv.map(x => x.toDouble * x).sum)
+      val negScore =
+        if (cn == 0.0) lit(0.0) else -dot(v, typedLit(cv)) / lit(cn)
+      struct(negScore.as("negScore"), lit(i).as("cid"))
+    }: _*))
+
+  /** IVF coarse-quantizer training, deterministic and driver-resident
+    * (C × dim floats — the same tiny artifact FAISS's training step
+    * produces): seed centroids are a HASH-STRATIFIED sample — the first
+    * `nCentroids` corpus vectors in md5(id) order, i.e. a uniform random
+    * pick independent of id locality (first-N-by-id would collapse onto
+    * one data region on clustered corpora) — optionally refined by ONE
+    * Lloyd pass over a deterministic 1/`trainSampleMod` hash-sample:
+    * assign sample vectors to their nearest seed (map-side), then take
+    * the per-component mean per cluster (posexplode + partial-aggregated
+    * avg — sample×dim rows, bounded by the sample fraction). Cluster
+    * means are quantized to a 2^-14 grid so float-summation order can't
+    * make the trained model run-dependent; empty clusters keep their
+    * seed vector. */
+  def trainIvfCentroids(corpus: DataFrame, idCol: String, vecCol: String,
+      nCentroids: Int, refine: Boolean = true, trainSampleMod: Int = 10,
+      seed: Int = 42): Array[Array[Float]] = {
     val base = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
-    import org.apache.spark.sql.expressions.Window
-    val cw = Window.orderBy(col("id"))
-    val centroids = base.orderBy(col("id")).limit(nCentroids)
-      .withColumn("cid", row_number().over(cw) - 1)
-      .select(col("cid"), col("v").as("_cv"))
-    val scored = base.crossJoin(broadcast(centroids))
-      .select(col("id"), col("v"), col("cid"),
-        cosine(col("v"), col("_cv")).as("sim"))
-    // ordering key: monotone in sim, cid breaks exact float ties
-    def ordKey = (col("sim") * lit((1L << 40).toDouble)).cast("long") *
-      nCentroids - col("cid")
-    val assigned = scored
-      .groupBy(col("id"))
-      .agg(graft.functions.LastByOffset.lastByOffset(
-        struct(col("cid"), col("v")), ordKey).as("_w"))
-      .select(col("id"), col("_w.cid").as("cid"), col("_w.v").as("v"))
-    val lists = assigned.select(col("id").as("neighbor_id"),
-      col("cid"), col("v").as("_cv2"))
-    // query probes: its nProbe nearest centroids (tiny per-query sort —
-    // nCentroids rows per query, rank over the same scored relation)
-    val pw = Window.partitionBy(col("id"))
-      .orderBy(col("sim").desc, col("cid").asc)
-    val probes = scored.withColumn("r", row_number().over(pw))
-      .filter(col("r") <= nProbe)
-      .select(col("id").as("query_id"), col("cid"), col("v").as("_qv"))
+    // TakeOrderedAndProject: per-partition top-C by the hash key, no
+    // global sort materialization
+    val init: Array[Array[Float]] = base
+      .orderBy(md5(concat(lit(s"ivf|$seed|"), col("id").cast("string"))), col("id"))
+      .limit(nCentroids)
+      .select(col("v")).collect().map(_.getSeq[Float](0).toArray)
+    if (!refine || init.isEmpty) return init
+    val sample = base.filter(pmod(hash(col("id")), lit(trainSampleMod)) === 0)
+    val means = sample
+      .select(centroidRanks(col("v"), init).getItem(0).getField("cid").as("cid"),
+        posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy(col("cid"), col("pos"))
+      .agg(avg(col("x")).as("m"))
+      .groupBy(col("cid"))
+      .agg(sort_array(collect_list(struct(col("pos"), col("m")))).as("ms"))
+      .collect()
+      .map { r =>
+        r.getInt(0) -> r.getSeq[org.apache.spark.sql.Row](1)
+          .map(s => (math.rint(s.getDouble(1) * 16384.0) / 16384.0).toFloat).toArray
+      }.toMap
+    init.indices.map(i => means.getOrElse(i, init(i))).toArray
+  }
+
+  /** IVF-flat ANN (the FAISS IVF shape re-expressed as joins): a small
+    * TRAINED coarse quantizer ([[trainIvfCentroids]] — hash-stratified
+    * sample + one Lloyd pass) partitions the corpus into inverted lists;
+    * a query probes its `nProbe` nearest centroids' lists and
+    * exact-cosine re-ranks only those candidates.
+    *
+    * Scale shape: the centroid model is DRIVER-RESIDENT (C × dim floats,
+    * embedded as literals), so assignment and probe selection are pure
+    * map-side codegen passes over the corpus — per row: C dot products +
+    * one C-element array sort, NO shuffle and NO window (the previous
+    * formulation shuffled an n×C scored relation through a window just
+    * to rank probes — 64× the corpus moved for nothing). The only
+    * shuffles left are the probe equi-join on centroid id (each list
+    * ~1/C of the corpus) and the per-pair dedup — never O(n²). Compared
+    * to [[annLshTopK]]: IVF adapts to the data distribution (lists
+    * follow density), LSH is oblivious but needs no training pass; both
+    * are provided as the two standard ANN scale paths. */
+  def annIvfTopK(corpus: DataFrame, idCol: String, vecCol: String, k: Int,
+      nCentroids: Int = 64, nProbe: Int = 4, refine: Boolean = true,
+      trainSampleMod: Int = 10): DataFrame = {
+    require(nProbe >= 1 && nProbe <= nCentroids, "nProbe in [1, nCentroids]")
+    val cents = trainIvfCentroids(corpus, idCol, vecCol, nCentroids,
+      refine, trainSampleMod)
+    require(cents.nonEmpty, "annIvfTopK: empty corpus")
+    val base = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
+    def ranks = centroidRanks(col("v"), cents)
+    val lists = base.select(col("id").as("neighbor_id"),
+      ranks.getItem(0).getField("cid").as("cid"), col("v").as("_cv2"))
+    val probes = base.select(col("id").as("query_id"),
+      explode(transform(slice(ranks, 1, nProbe), s => s.getField("cid"))).as("cid"),
+      col("v").as("_qv"))
     val scoredPairs = probes.join(lists, Seq("cid"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
@@ -190,6 +228,7 @@ object VectorOps {
       // dedup before ranking
       .groupBy(col("query_id"), col("neighbor_id"))
       .agg(max(col("sim")).as("sim"))
+    import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("neighbor_id").asc)
     scoredPairs.withColumn("rank", row_number().over(w))

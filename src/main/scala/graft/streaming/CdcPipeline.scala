@@ -87,7 +87,16 @@ class CdcPipeline(
     val t0 = System.nanoTime()
     val mongo = decodeOptions.connector.contains("mongodb")
     val mixed = decodeOptions.connector.contains("mixed")
-    if (autoEvolve && !mongo && !mixed) maybeEvolve(raw)
+    // mixed topics: the relational messages DO carry schema headers —
+    // evolve from that subset (Mongo extended-JSON documents have no
+    // header; silently ignoring autoEvolve for the whole mixed batch
+    // would be a trap). Pure-mongo pipelines: the limitation is inherent.
+    if (autoEvolve && !mongo) {
+      if (mixed) maybeEvolve(raw.filter(
+        !(graft.decode.MixedTopic.connectorOf(org.apache.spark.sql.functions.col("value"))
+          <=> org.apache.spark.sql.functions.lit("mongodb"))))
+      else maybeEvolve(raw)
+    }
     val schema = curSchema
     // Mongo: patch chains composed per key in-batch, presence precondition
     // + masked-field application finished inside the bucket-pruned merge

@@ -14,6 +14,16 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object StatefulOps {
 
+  /** Injective composite state key: JSON-encode the key tuple. A plain
+    * `concat_ws("|", ...)` collides — it skips nulls and a '|' inside a
+    * string value shifts the parts (("a|b","c") vs ("a","b|c")) — which
+    * would silently drop events for a never-seen key. JSON escapes
+    * delimiters and keeps nulls distinct (fixed field-name set), so
+    * distinct tuples always map to distinct state keys. */
+  private def compositeKey(keyCols: Seq[String]) =
+    to_json(struct(keyCols.map(col): _*),
+      Map("ignoreNullFields" -> "false"))
+
   /** Streaming first-occurrence-wins dedup: the first event of each key
     * (across ALL micro-batches — state survives the batch boundary) is
     * emitted, every later duplicate is dropped. Built-in
@@ -28,8 +38,7 @@ object StatefulOps {
     * need a deterministic pick across RE-ordered duplicates must feed
     * identical payloads (the CDC gate does) or pre-sort. */
   def streamingFirstByKey(df: DataFrame, keyCols: Seq[String]): DataFrame = {
-    val withKey = df.withColumn("_k",
-      concat_ws("|", keyCols.map(c => col(c).cast("string")): _*))
+    val withKey = df.withColumn("_k", compositeKey(keyCols))
     implicit val rowEnc = Encoders.row(withKey.schema)
     val keyIdx = withKey.schema.fieldNames.indexOf("_k")
     withKey
@@ -47,8 +56,7 @@ object StatefulOps {
     * mode): the canonical mapGroupsWithState shape — numeric state
     * folded across micro-batches. */
   def runningCountByKey(df: DataFrame, keyCols: Seq[String]): DataFrame = {
-    val withKey = df.withColumn("_k",
-      concat_ws("|", keyCols.map(c => col(c).cast("string")): _*))
+    val withKey = df.withColumn("_k", compositeKey(keyCols))
     val keyIdx = withKey.schema.fieldNames.indexOf("_k")
     import org.apache.spark.sql.types._
     val outSchema = StructType(Seq(

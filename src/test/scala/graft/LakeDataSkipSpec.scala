@@ -173,10 +173,89 @@ class LakeDataSkipSpec extends AnyFunSuite with SparkSessionTestWrapper {
     val pred = toCatalyst(col("a") >= 10L && col("b") >= 10L)
     val f1 = Map[String, (Any, Any)]("a" -> ((20L, 30L)), "b" -> ((0L, 5L)))
     val f2 = Map[String, (Any, Any)]("a" -> ((0L, 5L)), "b" -> ((20L, 30L)))
-    assert(!StatsPruner.mayMatch(pred, f1.get))
-    assert(!StatsPruner.mayMatch(pred, f2.get))
+    assert(!StatsPruner.mayMatch(pred, f1.get(_)))
+    assert(!StatsPruner.mayMatch(pred, f2.get(_)))
     val union = Map[String, (Any, Any)]("a" -> ((0L, 30L)), "b" -> ((0L, 30L)))
-    assert(StatsPruner.mayMatch(pred, union.get))
+    assert(StatsPruner.mayMatch(pred, union.get(_)))
+  }
+
+  test("null-count stats prune IS NULL / IS NOT NULL / NOT, conservative fallback intact") {
+    val t = newTable(Seq("ts", "name"))
+    // commit 0: name never null; commit 1: name ALWAYS null
+    t.append(rows(0, 100), "a", 0L)
+    t.append(rows(100, 200).withColumn("name", lit(null).cast("string")), "a", 1L)
+    val snap = t.currentSnapshot.get
+    val c0 = snap.files.filter(_.seq == 1)
+    val c1 = snap.files.filter(_.seq == 2)
+    assert(c0.nonEmpty && c1.nonEmpty)
+    // footer-harvested null counts + row counts landed in the manifest
+    assert(c0.forall(f => f.nulls.get("name").contains(0L) && f.rows >= 0))
+    assert(c1.filter(_.rows > 0).forall(f => f.nulls.get("name").contains(f.rows)))
+    // IS NULL keeps only the all-null commit's files; IS NOT NULL the inverse
+    val (kNull, tot) = kept(t, col("name").isNull)
+    assert(kNull == c1.size && tot == snap.files.size)
+    val (kNotNull, _) = kept(t, col("name").isNotNull)
+    assert(kNotNull == c0.size)
+    // results match the unpruned read on all three shapes
+    for (p <- Seq(col("name").isNull, col("name").isNotNull, !(col("ts") >= 100L)))
+      assert(t.readWhere(p).collect().toSet == t.read().filter(p).collect().toSet)
+    // NOT over a comparison prunes via the complement (ts >= 100 → ts < 100)
+    val (kNot, _) = kept(t, !(col("ts") >= 100L))
+    assert(kNot == c0.size)
+    // != prunes an all-null file (no non-null value can differ)
+    val (kNe, _) = kept(t, col("name") =!= "nope")
+    assert(kNe == c0.size)
+  }
+
+  test("narrowing cast never prunes; widening cast still does (ADVICE regression)") {
+    val schemaD = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("d", DoubleType, nullable = true)))
+    val tmp = java.nio.file.Files.createTempDirectory("lake-cast").toString
+    val t = new LakeTable(spark, tmp)
+    t.create(schemaD, Seq("id"), nBuckets = 2, statsColumns = Seq("d", "id"))
+    // every row's d truncates to 6 but the double range [6.2, 6.9]
+    // excludes literal 6 — a cast-stripping pruner would wrongly drop it
+    t.append(spark.range(0, 50).select(col("id"),
+      (lit(6.2) + col("id").cast("double") / 100.0).as("d")), "a", 0L)
+    val pred = col("d").cast("int") === 6
+    val (k, tot) = kept(t, pred)
+    assert(k == tot, "narrowing cast must be opaque (kept), not pruned")
+    assert(t.readWhere(pred).count() == 50)
+    // a lossless widening cast (long id → double) still prunes
+    val (kw, _) = kept(t, col("id").cast("double") >= 1000.0)
+    assert(kw == 0)
+    assert(t.readWhere(col("id").cast("double") >= 1000.0).count() == 0)
+  }
+
+  test("readKeys multi-part key: declared key order differing from schema order (ADVICE regression)") {
+    // schema order is (a, b); keys declared as Seq(b, a) — lookups must
+    // hash the parts under the DECLARED order
+    val sch = StructType(Seq(
+      StructField("a", LongType, nullable = false),
+      StructField("b", StringType, nullable = false),
+      StructField("payload", LongType, nullable = true)))
+    val tmp = java.nio.file.Files.createTempDirectory("lake-keyorder").toString
+    val t = new LakeTable(spark, tmp)
+    t.create(sch, Seq("b", "a"), nBuckets = 8)
+    t.append(spark.range(0, 200).select(col("id").as("a"),
+      concat(lit("k-"), col("id").cast("string")).as("b"),
+      (col("id") * 10).as("payload")), "a", 0L)
+    // keys in DECLARED order (b, a)
+    val got = t.readKeys(Seq(Seq[Any]("k-7", 7L), Seq[Any]("k-42", 42L)))
+      .select("a", "payload").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((7L, 70L), (42L, 420L)))
+  }
+
+  test("driver-side bucket evaluation matches the writers' bucket column expression") {
+    // parity pin for readKeys' no-job lookup: route every key through
+    // BOTH the catalyst column expression and a readKeys point lookup —
+    // a mismatch would return an empty result for present keys
+    val t = newTable(Nil)
+    t.append(rows(0, 512), "a", 0L)
+    val all = (0L until 512L by 37L).map(Seq[Any](_))
+    val got = t.readKeys(all).select("id").collect().map(_.getLong(0)).toSet
+    assert(got == (0L until 512L by 37L).toSet)
   }
 
   test("pruner leaf coverage: IN, STARTSWITH, flipped operands, OR") {

@@ -96,6 +96,39 @@ class OperatorsScaleSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(recall >= 0.95, f"recall $recall%.3f < 0.95")
   }
 
+  test("IVF ANN on a CLUSTERED corpus: trained centroids, recall@1 >= 0.95, no probe window") {
+    // the distribution IVF training exists for: 20 dense clusters (a
+    // first-N-by-id or untrained centroid pick collapses onto whatever
+    // region those ids sample). Deterministic synthesis: cluster centers
+    // and member jitter from a fixed-seed PRNG; truth = brute force.
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val dims = 16
+    val centers = Array.fill(20)(Array.fill(dims)(rnd.nextGaussian().toFloat))
+    val rows = (0 until 800).map { i =>
+      val c = centers(i % 20)
+      (i.toLong, c.zipWithIndex.map { case (x, _) =>
+        x + 0.05f * rnd.nextGaussian().toFloat }.toSeq)
+    }
+    val corpus = rows.toDF("vec_id", "embedding")
+    val truth = VectorOps.cosineTopK(corpus, "vec_id", "embedding",
+        corpus, "vec_id", "embedding", 1)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = VectorOps.annIvfTopK(corpus, "vec_id", "embedding",
+      k = 1, nCentroids = 24, nProbe = 4, refine = true, trainSampleMod = 4)
+    // the probe/assignment path must be map-side: the ONLY window in the
+    // plan is the final per-query top-k rank over candidate pairs
+    val plan = ivf.queryExecution.executedPlan.toString
+    val windows = "(?i)\\bwindow\\b".r.findAllIn(plan).size
+    assert(windows <= 1, s"expected at most the final rank window, plan:\n$plan")
+    val approx = ivf.select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (truth intersect approx).size.toDouble / truth.size
+    info(f"clustered IVF recall@1 = $recall%.3f (24 trained centroids, nProbe=4)")
+    assert(recall >= 0.95, f"recall $recall%.3f < 0.95")
+  }
+
   test("withPlantedTwins fails loudly when an id would collide with a twin id") {
     import spark.implicits._
     val bad = Seq((VectorOps.PlantedIdOffset + 5, Seq(1f, 0f)),

@@ -48,7 +48,23 @@ class StatefulStreamSpec extends AnyFunSuite with SparkSessionTestWrapper {
     val last = spark.table(name).groupBy(col("key"))
       .agg(max(col("n")).as("n"))
       .as[(String, Long)].collect().toMap
-    assert(last == Map("1" -> 3L, "2" -> 2L, "3" -> 3L))
+    // the composite state key is the JSON-encoded key tuple (injective)
+    assert(last == Map("{\"id\":1}" -> 3L, "{\"id\":2}" -> 2L, "{\"id\":3}" -> 3L))
+  }
+
+  test("composite state key is injective: '|' in values and nulls don't collide") {
+    // a delimiter-concat key would collide ("a|b","c") with ("a","b|c")
+    // and (null,"x") with ("x",null) — each of the four tuples below must
+    // keep its own state slot and survive first-by-key dedup intact
+    val df = Seq(
+      (Some("a|b"), Some("c")), (Some("a"), Some("b|c")),
+      (None: Option[String], Some("x")), (Some("x"), None: Option[String])
+    ).toDF("k1", "k2")
+    val got = StatefulOps.streamingFirstByKey(df, Seq("k1", "k2"))
+      .as[(Option[String], Option[String])].collect().toSet
+    assert(got == Set(
+      (Some("a|b"), Some("c")), (Some("a"), Some("b|c")),
+      (None, Some("x")), (Some("x"), None)))
   }
 
   test("streamingFirstByKey has an identical batch-mode plan semantics") {
