@@ -380,11 +380,20 @@ object SparkEntry {
       val hour = 3600 * 1000L
       val mem = MemoryStream[(Long, java.sql.Timestamp, Double)]
       val sink = "stream_late_" + java.util.UUID.randomUUID().toString.replace("-", "")
-      val q = mem.toDF().toDF("event_id", "ts", "value")
-        .withWatermark("ts", "1 hour")
-        .groupBy(window(col("ts"), "1 hour").as("w"))
-        .agg(count(lit(1)).as("n"), dsum(col("value")).as("total_value"))
-        .writeStream.format("memory").queryName(sink).outputMode("append").start()
+      // the stateful stages (watermark filter + window agg + state store
+      // commit) run per shuffle partition per micro-batch; at the sample's
+      // size 8 partitions keep the state machinery proportionate (the
+      // session's 32 would quadruple the store-commit task count). The
+      // partition count is captured at query start; restored after stop.
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      val q =
+        try mem.toDF().toDF("event_id", "ts", "value")
+          .withWatermark("ts", "1 hour")
+          .groupBy(window(col("ts"), "1 hour").as("w"))
+          .agg(count(lit(1)).as("n"), dsum(col("value")).as("total_value"))
+          .writeStream.format("memory").queryName(sink).outputMode("append").start()
+        finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
       mem.addData(sample)
       q.processAllAvailable()
       mem.addData(late :+ ((-1L, new java.sql.Timestamp(maxMs + 2 * hour), 0.0)))

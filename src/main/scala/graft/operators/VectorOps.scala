@@ -132,22 +132,15 @@ object VectorOps {
       .select("query_id", "neighbor_id", "rank")
   }
 
-  /** Per-row centroid ranking: array of (negScore, cid) structs sorted
-    * ascending — element 1 is the nearest centroid, the first `p` are the
-    * probe set. Score is dot(v, c)/‖c‖ with ‖c‖ precomputed driver-side:
-    * dividing by ‖v‖ is the same positive scalar for every centroid, so
-    * the RANKING equals cosine ranking at half the arithmetic, and no
-    * per-row norm(v) sub-expression gets duplicated across the C branches
-    * (CollapseProject would inline it into each). Entirely map-side
-    * whole-stage-codegen work: C native-expression dot products + one
-    * C-element sort per row — no shuffle, no window. */
-  private def centroidRanks(v: Column, cents: Array[Array[Float]]): Column =
-    sort_array(array(cents.zipWithIndex.map { case (cv, i) =>
-      val cn = math.sqrt(cv.map(x => x.toDouble * x).sum)
-      val negScore =
-        if (cn == 0.0) lit(0.0) else -dot(v, typedLit(cv)) / lit(cn)
-      struct(negScore.as("negScore"), lit(i).as("cid"))
-    }: _*))
+  /** Per-row centroid ranking: the `n` nearest centroid cids, nearest
+    * first — ONE compact codegen expression carrying the centroid matrix
+    * as a reference object (see [[graft.functions.CentroidTopCids]]: the
+    * C-literal-arrays + sort_array formulation generated enormous
+    * projection code that janino paid seconds compiling per plan).
+    * Entirely map-side: C primitive dots + an O(C·n) selection per row —
+    * no shuffle, no window. */
+  private def centroidRanks(v: Column, cents: Array[Array[Float]], n: Int): Column =
+    graft.functions.CentroidTopCids.topCids(v, cents, n)
 
   /** IVF coarse-quantizer training, deterministic and driver-resident
     * (C × dim floats — the same tiny artifact FAISS's training step
@@ -175,7 +168,7 @@ object VectorOps {
     if (!refine || init.isEmpty) return init
     val sample = base.filter(pmod(hash(col("id")), lit(trainSampleMod)) === 0)
     val means = sample
-      .select(centroidRanks(col("v"), init).getItem(0).getField("cid").as("cid"),
+      .select(centroidRanks(col("v"), init, 1).getItem(0).as("cid"),
         posexplode(col("v")).as(Seq("pos", "x")))
       .groupBy(col("cid"), col("pos"))
       .agg(avg(col("x")).as("m"))
@@ -214,11 +207,10 @@ object VectorOps {
       refine, trainSampleMod)
     require(cents.nonEmpty, "annIvfTopK: empty corpus")
     val base = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
-    def ranks = centroidRanks(col("v"), cents)
     val lists = base.select(col("id").as("neighbor_id"),
-      ranks.getItem(0).getField("cid").as("cid"), col("v").as("_cv2"))
+      centroidRanks(col("v"), cents, 1).getItem(0).as("cid"), col("v").as("_cv2"))
     val probes = base.select(col("id").as("query_id"),
-      explode(transform(slice(ranks, 1, nProbe), s => s.getField("cid"))).as("cid"),
+      explode(centroidRanks(col("v"), cents, nProbe)).as("cid"),
       col("v").as("_qv"))
     val scoredPairs = probes.join(lists, Seq("cid"))
       .filter(col("query_id") =!= col("neighbor_id"))
