@@ -26,7 +26,14 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
+  // Fixed, pre-touched heap: this sandbox's hypervisor (firecracker)
+  // demand-faults guest memory, so a growing heap pays first-touch
+  // page-fault storms INSIDE timed regions (measured: first 1M-event
+  // apply draw 3-8x slower than the second, 30-47% sys time; with
+  // pre-touch the draws are equal). Faulting moves to JVM startup.
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
+  "-XX:+AlwaysPreTouch",
   // G1's concurrent cycles fall behind the allocation rate of JSON-heavy
   // decode at high thread counts (measured: 2x slowdown, growing per-batch
   // cost); the throughput collector keeps per-batch cost flat.

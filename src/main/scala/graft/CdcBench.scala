@@ -44,10 +44,11 @@ object CdcBench {
       .config("spark.sql.files.maxPartitionBytes", (16 * 1024 * 1024).toString)
       .config("spark.sql.files.openCostInBytes", (1024 * 1024).toString)
       .config("spark.ui.enabled", "false")
+      .config("spark.local.dir", Scratch.dir("spark-local"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     try {
-      val dir = Files.createTempDirectory(s"lake-bench-$cores").toString
+      val dir = Scratch.dir(s"lake-bench-$cores").toString
       val schema = CdcSchema.transcripts
       val table = new LakeTable(spark, dir)
       table.create(schema.structType, schema.keyNames, nBuckets)
@@ -63,7 +64,7 @@ object CdcBench {
         mergeOnRead = mor, autoCompact = compactEvery)
 
       // JIT/codegen warmup on a throwaway table (excluded from timing)
-      val warmDir = Files.createTempDirectory(s"lake-warm-$cores").toString
+      val warmDir = Scratch.dir(s"lake-warm-$cores").toString
       val warmTable = new LakeTable(spark, warmDir)
       warmTable.create(schema.structType, schema.keyNames, 8)
       val warmPipe = new CdcPipeline(spark, schema, warmTable,
@@ -129,7 +130,7 @@ object CdcBench {
     val nBatches = sys.env.getOrElse("SPARK_GRAFT_BENCH_BATCHES", "4").toInt
     val nBuckets = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUCKETS", "64").toInt
     val rawPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_RAW",
-      Files.createTempDirectory("cdc-raw").toString + "/raw")
+      Scratch.dir("cdc-raw").toString + "/raw")
 
     if (!new java.io.File(rawPath).exists()) {
       // materialize the raw envelope table (generation excluded from timing)

@@ -27,10 +27,11 @@ object DecodeBench {
       .config("spark.sql.files.maxPartitionBytes", (16 * 1024 * 1024).toString)
       .config("spark.sql.files.openCostInBytes", (1024 * 1024).toString)
       .config("spark.ui.enabled", "false")
+      .config("spark.local.dir", Scratch.dir("spark-local"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val rawPath = Files.createTempDirectory("decode-bench").toString + "/raw"
+    val rawPath = Scratch.dir("decode-bench").toString + "/raw"
     BenchGen.envelopes(spark, nEvents).write.parquet(rawPath)
     val raw = spark.read.parquet(rawPath)
     val schema = CdcSchema.transcripts

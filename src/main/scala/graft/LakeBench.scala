@@ -72,11 +72,12 @@ object LakeBench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.files.maxPartitionBytes", (16 * 1024 * 1024).toString)
       .config("spark.ui.enabled", "false")
+      .config("spark.local.dir", Scratch.dir("spark-local"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
     for (size <- sizes; mode <- Seq("cow", "mor")) {
-      val dir = Files.createTempDirectory(s"lakebench-$mode-$size").toString
+      val dir = Scratch.dir(s"lakebench-$mode-$size").toString
       val t = new LakeTable(spark, dir)
       t.create(schema.structType, schema.keyNames, nBuckets = 64)
       t.append(rows(spark, size, 0L))

@@ -58,10 +58,11 @@ object MmBench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .config("spark.local.dir", Scratch.dir("spark-local"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val rawPath = Files.createTempDirectory("mm-bench").toString + "/assets"
+    val rawPath = Scratch.dir("mm-bench").toString + "/assets"
     spark.range(nImages).select(col("id").as("doc_id"),
         graft.functions.SyntheticImage.syntheticImage(col("id")).as("content"))
       .write.parquet(rawPath)
