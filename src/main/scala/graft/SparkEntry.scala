@@ -422,7 +422,7 @@ object SparkEntry {
       // (snapshot commits + copy-on-write MERGE), final state read back
       // from the committed snapshot.
       val (base, upd, del) = customerEnvelopes(s, dir)
-      val tmp = java.nio.file.Files.createTempDirectory("lake-gate").toString
+      val tmp = graft.Scratch.dir("lake-gate").toString
       val table = new graft.lake.LakeTable(s, tmp)
       table.create(customerCdcSchema.structType, customerCdcSchema.keyNames, nBuckets = 16)
       val pipe = new graft.streaming.CdcPipeline(s, customerCdcSchema, table,
@@ -439,7 +439,7 @@ object SparkEntry {
       // back through LWW reconstruction — same oracle as the
       // copy-on-write pipeline.
       val (base, upd, del) = customerEnvelopes(s, dir)
-      val tmp = java.nio.file.Files.createTempDirectory("lake-mor-gate").toString
+      val tmp = graft.Scratch.dir("lake-mor-gate").toString
       val table = new graft.lake.LakeTable(s, tmp)
       table.create(customerCdcSchema.structType, customerCdcSchema.keyNames, nBuckets = 16)
       val pipe = new graft.streaming.CdcPipeline(s, customerCdcSchema, table,
@@ -464,7 +464,7 @@ object SparkEntry {
       // (batch 1's 'u'/'d' events must match batch 0's committed state).
       val (batch0, batch1) = strictCustomerEnvelopes(s, dir)
       val opts = DecodeOptions(strict = true, validate = true)
-      val tmp = java.nio.file.Files.createTempDirectory("lake-strict-gate").toString
+      val tmp = graft.Scratch.dir("lake-strict-gate").toString
       val table = new graft.lake.LakeTable(s, tmp)
       table.create(customerCdcSchema.structType, customerCdcSchema.keyNames, nBuckets = 16)
       Seq(batch0, batch1).zipWithIndex.foreach { case (raw, i) =>
@@ -484,7 +484,7 @@ object SparkEntry {
       // PatchFoldBySeq reconstruction (no compaction — the PATCH deltas
       // stay deltas so the read-side fold is what's being gated).
       val (batch0, batch1) = mongoCustomerEnvelopes(s, dir)
-      val tmp = java.nio.file.Files.createTempDirectory("lake-mongo-gate").toString
+      val tmp = graft.Scratch.dir("lake-mongo-gate").toString
       val table = new graft.lake.LakeTable(s, tmp)
       table.create(mongoCustomerCdcSchema.structType,
         mongoCustomerCdcSchema.keyNames, nBuckets = 16)
@@ -511,7 +511,7 @@ object SparkEntry {
           // ts is TIMESTAMP_NTZ in the parquet; the session runs UTC, so
           // the cast is instant-preserving and matches DuckDB's epoch_us
           unix_micros(col("ts").cast(TimestampType)).as("ts_us"))
-      val tmp = java.nio.file.Files.createTempDirectory("lake-skip-gate").toString
+      val tmp = graft.Scratch.dir("lake-skip-gate").toString
       val table = new graft.lake.LakeTable(s, tmp)
       table.create(ev.schema, Seq("event_id"), nBuckets = 8,
         statsColumns = Seq("ts_us"))
@@ -522,6 +522,48 @@ object SparkEntry {
       table.readWhere(col("ts_us") >= t3)
         .select("event_id", "user_id", "event_type", "value", "ts")
     }),
+    "cdc_lake_cluster" -> ((s, dir) => {
+      // CLUSTER maintenance commit: the ingested subset is hash-bucketed,
+      // so every data file spans ~the full `value` domain and a range
+      // predicate prunes nothing; cluster(value) range-lays-out each
+      // bucket, after which the same readWhere keeps only the files
+      // whose [min,max] overlaps the range (the [lake-cluster] stderr
+      // line + kept-file fraction — at 10^10 rows this is the difference
+      // between reading a bucket and reading the 2 files of it that
+      // overlap the window).
+      val ev = t(s, dir, "events").filter(col("event_id") % 4 === 0)
+        .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+      val tmp = graft.Scratch.dir("lake-cluster-gate")
+      val table = new graft.lake.LakeTable(s, tmp)
+      table.create(ev.schema, Seq("event_id"), nBuckets = 8,
+        statsColumns = Seq("value"))
+      table.append(ev, "a", 0L)
+      table.cluster(Seq("value"))
+      table.readWhere(col("value") >= 400.0)
+        .select("event_id", "user_id", "event_type", "value")
+    }),
+    "cdc_lake_changes" -> ((s, dir) => {
+      // change-data-feed between snapshots: commit 0 ingests the even
+      // keys, commit 1 ingests odd-key creates + the %3 updates + %7
+      // deletes (LWW inside the batch); changes(v1, v2) must emit
+      // exactly the insert/update/delete set — scanning only buckets
+      // commit 1 touched (the [lake-cdf] stderr line shows the
+      // fraction; at 10^10 rows untouched buckets are never read).
+      val (base, upd, del) = customerEnvelopes(s, dir)
+      val tmp = graft.Scratch.dir("lake-cdf-gate")
+      val table = new graft.lake.LakeTable(s, tmp)
+      table.create(customerCdcSchema.structType, customerCdcSchema.keyNames, nBuckets = 16)
+      val pipe = new graft.streaming.CdcPipeline(s, customerCdcSchema, table,
+        DecodeOptions(strict = false, validate = true), "gate-cdf")
+      pipe.processBatch(base.filter(col("offset") % 2 === 0), 0L)
+      val v1 = table.currentVersion.get
+      pipe.processBatch(
+        base.filter(col("offset") % 2 === 1).unionByName(upd).unionByName(del), 1L)
+      val v2 = table.currentVersion.get
+      table.changes(v1, Some(v2)).select(
+        "c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment",
+        "_offset", "_change_type")
+    }),
     "cdc_lake_lookup" -> ((s, dir) => {
       // bucket-pruned point lookup: hash the requested keys driver-side
       // with the writers' bucketing expression, scan ONLY those buckets,
@@ -530,7 +572,7 @@ object SparkEntry {
       // bucket fraction scanned).
       val ev = t(s, dir, "events")
         .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
-      val tmp = java.nio.file.Files.createTempDirectory("lake-lookup-gate").toString
+      val tmp = graft.Scratch.dir("lake-lookup-gate").toString
       val table = new graft.lake.LakeTable(s, tmp)
       table.create(ev.schema, Seq("event_id"), nBuckets = 32)
       table.append(ev, "a", 0L)
@@ -547,7 +589,7 @@ object SparkEntry {
       // commit per batch through the merge-on-read lake, PATCH deltas
       // folded on read.
       val (b0, b1) = mixedTopicEnvelopes(s, dir)
-      val tmp = java.nio.file.Files.createTempDirectory("lake-mixed-gate").toString
+      val tmp = graft.Scratch.dir("lake-mixed-gate").toString
       val table = new graft.lake.LakeTable(s, tmp)
       table.create(mixedCdcSchema.structType, mixedCdcSchema.keyNames, nBuckets = 16)
       val pipe = new graft.streaming.CdcPipeline(s, mixedCdcSchema, table,
@@ -1203,6 +1245,31 @@ object SparkEntry {
     "cdc_lake_lookup" ->
       """SELECT event_id, user_id, event_type, value
         |FROM events WHERE event_id % 97 = 0""".stripMargin,
+    "cdc_lake_cluster" ->
+      """SELECT event_id, user_id, event_type, value
+        |FROM events WHERE event_id % 4 = 0 AND value >= 400.0""".stripMargin,
+    "cdc_lake_changes" ->
+      // the expected feed, recomputed from the workload formulas:
+      // commit 0 = even keys; commit 1 = odd creates + %3 updates + %7
+      // deletes with in-batch LWW (an odd %7 key is created and deleted
+      // in the same batch → no row on either side → silent)
+      """SELECT c_custkey, c_name || ' rev2' AS c_name, c_nationkey, c_acctbal,
+        |       c_mktsegment, CAST(c_custkey + 10000000 AS BIGINT) AS _offset,
+        |       'update' AS _change_type
+        |FROM customer
+        |WHERE c_custkey % 2 = 0 AND c_custkey % 3 = 0 AND c_custkey % 7 <> 0
+        |UNION ALL
+        |SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment,
+        |       CAST(c_custkey AS BIGINT) AS _offset, 'delete' AS _change_type
+        |FROM customer WHERE c_custkey % 2 = 0 AND c_custkey % 7 = 0
+        |UNION ALL
+        |SELECT c_custkey,
+        |       CASE WHEN c_custkey % 3 = 0 THEN c_name || ' rev2' ELSE c_name END AS c_name,
+        |       c_nationkey, c_acctbal, c_mktsegment,
+        |       CAST(CASE WHEN c_custkey % 3 = 0 THEN c_custkey + 10000000
+        |            ELSE c_custkey END AS BIGINT) AS _offset,
+        |       'insert' AS _change_type
+        |FROM customer WHERE c_custkey % 2 = 1 AND c_custkey % 7 <> 0""".stripMargin,
     "cdc_mixed_topic" ->
       // one topic, three connectors routed per message; batch 1 updates:
       // mysql ' rev2' (k%6==0, declared-cased wire names), postgres

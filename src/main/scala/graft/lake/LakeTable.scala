@@ -101,7 +101,8 @@ class LakeTable(val spark: SparkSession, val root: String) {
       manifests: Seq[Manifest],
       commits: Map[String, Long],
       lineage: Option[JsonNode],
-      statsColumns: Seq[String] = Nil) {
+      statsColumns: Seq[String] = Nil,
+      bloomColumns: Seq[String] = Nil) {
     def files: Seq[DataFile] = manifests.flatMap(_.files)
   }
 
@@ -169,6 +170,10 @@ class LakeTable(val spark: SparkSession, val root: String) {
       statsColumns =
         if (node.has("statsColumns"))
           node.get("statsColumns").elements().asScala.map(_.asText()).toSeq
+        else Nil,
+      bloomColumns =
+        if (node.has("bloomColumns"))
+          node.get("bloomColumns").elements().asScala.map(_.asText()).toSeq
         else Nil)
   }
 
@@ -240,6 +245,9 @@ class LakeTable(val spark: SparkSession, val root: String) {
     if (s.statsColumns.nonEmpty) {
       val sc = node.putArray("statsColumns"); s.statsColumns.foreach(sc.add)
     }
+    if (s.bloomColumns.nonEmpty) {
+      val bc = node.putArray("bloomColumns"); s.bloomColumns.foreach(bc.add)
+    }
     if (lineage != null) node.set[ObjectNode]("lineage", lineage.deepCopy())
 
     val target = versionFile(s.version)
@@ -291,14 +299,25 @@ class LakeTable(val spark: SparkSession, val root: String) {
     * [[readWhere]] data skipping. Supported types: integral, float
     * family, string, date, timestamp (others are rejected — no sound
     * ordering is recorded for them). Empty (the default) = zero
-    * overhead. */
+    * overhead.
+    *
+    * `bloomColumns`: columns that get a parquet BLOOM FILTER per data
+    * file (adaptive sizing, written by every commit from then on).
+    * Min/max stats can't prune point lookups over hash-distributed
+    * values (every file spans nearly the full domain); a bloom answers
+    * "definitely not in this row group" for `=` / `IN` predicates, so
+    * [[readKeys]] skips the row groups of files that don't hold the key
+    * — the sub-bucket half of point-lookup pruning (bucket pruning
+    * bounds the lookup to keys/nBuckets of the table; blooms bound it
+    * to the files actually containing the keys). */
   def create(schema: StructType, keyColumns: Seq[String], nBuckets: Int = 32,
-      statsColumns: Seq[String] = Nil): Unit = {
+      statsColumns: Seq[String] = Nil, bloomColumns: Seq[String] = Nil): Unit = {
     require(currentVersion.isEmpty, s"table already exists at $root")
     validateStatsColumns(schema, statsColumns)
+    validateStatsColumns(schema, bloomColumns)
     fs.mkdirs(metaDir)
     writeSnapshot(Snapshot(0, schema, keyColumns, nBuckets, Nil: Seq[Manifest],
-      Map.empty, None, statsColumns))
+      Map.empty, None, statsColumns, bloomColumns))
   }
 
   private def validateStatsColumns(schema: StructType, cols: Seq[String]): Unit =
@@ -324,6 +343,21 @@ class LakeTable(val spark: SparkSession, val root: String) {
       manifests = nextManifests(cur, _ => false, Nil),
       statsColumns = cols,
       lineage = Some(lineageNode("setStatsColumns",
+        Map("columns" -> cols.mkString(",")))))
+    writeSnapshot(next)
+    next
+  }
+
+  /** Change the bloom-filtered columns (metadata-only commit): files
+    * written AFTER this carry blooms; files without one are simply not
+    * row-group-skippable (reads stay correct). */
+  def setBloomColumns(cols: Seq[String]): Snapshot = {
+    val cur = currentSnapshot.getOrElse(sys.error(s"no table at $root"))
+    validateStatsColumns(cur.schema, cols)
+    val next = cur.copy(version = cur.version + 1,
+      manifests = nextManifests(cur, _ => false, Nil),
+      bloomColumns = cols,
+      lineage = Some(lineageNode("setBloomColumns",
         Map("columns" -> cols.mkString(",")))))
     writeSnapshot(next)
     next
@@ -401,10 +435,7 @@ class LakeTable(val spark: SparkSession, val root: String) {
   def read(version: Option[Int] = None): DataFrame = {
     val snap = version.map(snapshot).orElse(currentSnapshot)
       .getOrElse(sys.error(s"no table at $root"))
-    val deltaBuckets = snap.files.filter(_.delta).map(_.bucket).toSet
-    if (deltaBuckets.isEmpty) return readFiles(snap, snap.files)
-    val (morFiles, pureBase) = snap.files.partition(f => deltaBuckets.contains(f.bucket))
-    readFiles(snap, pureBase).unionByName(reconstructRows(snap, morFiles))
+    snapBucketsRead(snap, None)
   }
 
   /** Column-pruned read: only `columns` (plus, internally, the key
@@ -480,6 +511,80 @@ class LakeTable(val spark: SparkSession, val root: String) {
     outCols.map(cs => unioned.select(cs.map(col): _*)).getOrElse(unioned)
   }
 
+  /** Change-data-feed between two committed snapshots: one row per key
+    * whose final state differs, stamped `_change_type` ∈
+    * {insert, update, delete}. insert/update rows carry the `to`-side
+    * image, delete rows the `from`-side image (so a consumer can key
+    * its own downstream merge off either direction).
+    *
+    * Scale shape: the manifest file-diff bounds the scan to buckets
+    * TOUCHED by the intervening commits — an untouched bucket's file
+    * set is byte-identical in both snapshots, so it cannot contain a
+    * change and is never read. At 10^10 rows a commit touches O(batch)
+    * buckets; the diff reads those buckets in both versions and
+    * full-outer-joins them on the key (both sides arrive
+    * hash-partitioned by key when MoR reconstruction ran, so the join
+    * reuses that partitioning). Falls back to a full two-sided diff
+    * when bucket routing changed in between (`rebucket`), where the
+    * file-diff is vacuously "everything". Buckets rewritten with
+    * identical rows (compaction) are scanned and emit nothing.
+    *
+    * Schema evolution between the snapshots is aligned to the `to`
+    * schema: columns missing on the `from` side read as null, so a row
+    * differing only in a new column's non-null value reports as an
+    * update. */
+  def changes(fromVersion: Int, toVersion: Option[Int] = None): DataFrame = {
+    val from = snapshot(fromVersion)
+    val to = toVersion.map(snapshot).orElse(currentSnapshot)
+      .getOrElse(sys.error(s"no table at $root"))
+    require(from.version <= to.version,
+      s"changes: from v${from.version} is newer than to v${to.version}")
+    require(from.keyColumns == to.keyColumns,
+      s"changes: key columns differ (${from.keyColumns} vs ${to.keyColumns})")
+    val keyCols = to.keyColumns
+    val payloadCols = to.schema.fieldNames.filterNot(keyCols.contains).toSeq
+    val (oldDf, newDf) =
+      if (from.nBuckets != to.nBuckets) (snapBucketsRead(from, None), snapBucketsRead(to, None))
+      else {
+        val fromPaths = from.files.map(_.path).toSet
+        val toPaths = to.files.map(_.path).toSet
+        val touched = (to.files.filterNot(f => fromPaths(f.path)) ++
+          from.files.filterNot(f => toPaths(f.path))).map(_.bucket).toSet
+        System.err.println(s"[lake-cdf] buckets=${touched.size}/${to.nBuckets} " +
+          s"v${from.version}->v${to.version}")
+        (snapBucketsRead(from, Some(touched)), snapBucketsRead(to, Some(touched)))
+      }
+    // old side aligned to the to-schema (evolution: absent columns = null)
+    val oldAligned = payloadCols.foldLeft(oldDf) { (d, c) =>
+      if (d.columns.contains(c)) d
+      else d.withColumn(c, lit(null).cast(to.schema(c).dataType))
+    }
+    def sided(df: DataFrame, side: String) = df.select(
+      struct(keyCols.map(col): _*).as("_k"),
+      struct(payloadCols.map(col): _*).as(side))
+    val j = sided(oldAligned, "_o").join(sided(newDf, "_n"), Seq("_k"), "full_outer")
+    val img = when(col("_n").isNull, col("_o")).otherwise(col("_n"))
+    j.withColumn("_change_type",
+        when(col("_o").isNull, lit("insert"))
+          .when(col("_n").isNull, lit("delete"))
+          .when(!(col("_o") <=> col("_n")), lit("update")))
+      .filter(col("_change_type").isNotNull)
+      .withColumn("_img", img)
+      .select(keyCols.map(c => col(s"_k.$c").as(c)) ++
+        payloadCols.map(c => col(s"_img.$c").as(c)) :+ col("_change_type"): _*)
+  }
+
+  /** read() restricted to a bucket subset of a given snapshot (None =
+    * all buckets); MoR buckets reconstruct, pure-base buckets scan. */
+  private def snapBucketsRead(snap: Snapshot, buckets: Option[Set[Int]]): DataFrame = {
+    val fs = buckets.map(b => snap.files.filter(f => b.contains(f.bucket)))
+      .getOrElse(snap.files)
+    val deltaBuckets = fs.filter(_.delta).map(_.bucket).toSet
+    if (deltaBuckets.isEmpty) return readFiles(snap, fs)
+    val (morFiles, pureBase) = fs.partition(f => deltaBuckets.contains(f.bucket))
+    readFiles(snap, pureBase).unionByName(reconstructRows(snap, morFiles))
+  }
+
   /** Bucket-pruned point lookup: read only the buckets that can hold
     * the given key tuples (the key hash is computed driver-side with
     * the SAME murmur3 expression the writers bucket by), then filter to
@@ -514,9 +619,19 @@ class LakeTable(val spark: SparkSession, val root: String) {
       if (morFiles.isEmpty) readFiles(snap, pureBase)
       else readFiles(snap, pureBase)
         .unionByName(reconstructRows(snap, morFiles))
-    // exact-key filter via a broadcast semi join (an IN list of tuples
-    // does not push down; the tiny key set broadcast does)
-    rows.join(broadcast(keyDf), snap.keyColumns, "left_semi")
+    // Per-column IN filters push into the parquet scan: within the
+    // chosen buckets the reader's row-group filter checks each file's
+    // min/max, dictionary and bloom filter (bloomColumns) against the
+    // requested values and SKIPS row groups that can't hold any key —
+    // min/max alone never prunes hash-distributed keys, a bloom does.
+    // For multi-part keys the per-column INs over-approximate (cross
+    // product of parts); the broadcast semi join restores exactness.
+    val pushed =
+      if (keys.size > 1000) rows // bound the pushed filter tree; semi join alone
+      else snap.keyColumns.zipWithIndex.foldLeft(rows) { case (d, (c, i)) =>
+        d.filter(col(c).isin(keys.map(_(i)).distinct: _*))
+      }
+    pushed.join(broadcast(keyDf), snap.keyColumns, "left_semi")
   }
 
   /** Top-level column names a predicate reads. */
@@ -734,6 +849,23 @@ class LakeTable(val spark: SparkSession, val root: String) {
       rowCount)
   }
 
+  /** Bucket-partitioned parquet write; when the snapshot declares
+    * `bloomColumns`, each data file gets an adaptively-sized parquet
+    * bloom filter per column (parquet-mr sizes it to the file's actual
+    * NDV up to the 1 MB cap). The parquet reader's row-group filter
+    * consults blooms for `=`/`IN` predicates — [[readKeys]] pushes
+    * exactly those. */
+  private def writeBucketed(df: DataFrame, dir: Path, bloomCols: Seq[String]): Unit = {
+    val base = df.write
+    val w =
+      if (bloomCols.isEmpty) base
+      else bloomCols.foldLeft(
+        base.option("parquet.bloom.filter.adaptive.enabled", "true")) {
+        (b, c) => b.option(s"parquet.bloom.filter.enabled#$c", "true")
+      }
+    w.partitionBy("_bucket").parquet(dir.toString)
+  }
+
   /** Bulk append (initial seed): bucket + write + commit. */
   def append(df: DataFrame, commitId: String = "append", batchId: Long = 0L): Snapshot = {
     val cur = currentSnapshot.getOrElse(sys.error(s"no table at $root"))
@@ -743,9 +875,10 @@ class LakeTable(val spark: SparkSession, val root: String) {
     val commitRel = s"data/commit-${cur.version + 1}"
     val commitDir = new Path(root, commitRel)
     val fpb = filesPerBucket(cur.nBuckets)
-    df.withColumn("_bucket", bucketCol(cur.keyColumns, cur.nBuckets))
-      .repartition(cur.nBuckets * fpb, col("_bucket"), saltCol(cur.keyColumns, fpb))
-      .write.partitionBy("_bucket").parquet(commitDir.toString)
+    writeBucketed(
+      df.withColumn("_bucket", bucketCol(cur.keyColumns, cur.nBuckets))
+        .repartition(cur.nBuckets * fpb, col("_bucket"), saltCol(cur.keyColumns, fpb)),
+      commitDir, cur.bloomColumns)
     val newFiles = listCommitFiles(commitDir, cur.version + 1, delta = false)
     val next = cur.copy(version = cur.version + 1,
       manifests = nextManifests(cur, _ => false, newFiles),
@@ -868,9 +1001,10 @@ class LakeTable(val spark: SparkSession, val root: String) {
     // the affected-bucket count when the cluster has idle slots
     val fpb = filesPerBucket(affected.size)
     val tWrite0 = System.nanoTime()
-    merged.withColumn("_bucket", bucketCol(keyCols, nb))
-      .repartition(affected.size * fpb, col("_bucket"), saltCol(keyCols, fpb))
-      .write.partitionBy("_bucket").parquet(commitDir.toString)
+    writeBucketed(
+      merged.withColumn("_bucket", bucketCol(keyCols, nb))
+        .repartition(affected.size * fpb, col("_bucket"), saltCol(keyCols, fpb)),
+      commitDir, cur.bloomColumns)
     val writeMs = (System.nanoTime() - tWrite0) / 1000000
     val tList0 = System.nanoTime()
     val newFiles = listCommitFiles(commitDir, cur.version + 1, delta = false)
@@ -999,10 +1133,11 @@ class LakeTable(val spark: SparkSession, val root: String) {
     val outCols = keyCols ++ payloadCols ++ Seq("operation") ++
       (if (hasPatch) Seq("_patch_mask") else Nil) ++ Seq("_bucket")
     val fpb = filesPerBucket(nb)
-    observed
-      .select(outCols.map(col): _*)
-      .repartition(nb * fpb, col("_bucket"), saltCol(keyCols, fpb))
-      .write.partitionBy("_bucket").parquet(commitDir.toString)
+    writeBucketed(
+      observed
+        .select(outCols.map(col): _*)
+        .repartition(nb * fpb, col("_bucket"), saltCol(keyCols, fpb)),
+      commitDir, cur.bloomColumns)
     val writeMs = (System.nanoTime() - tWrite0) / 1000000
     val m = obs.get
     val anyPatchRow = hasPatch &&
@@ -1074,9 +1209,10 @@ class LakeTable(val spark: SparkSession, val root: String) {
     val commitRel = s"data/compact-${cur.version + 1}"
     val commitDir = new Path(root, commitRel)
     val fpb = filesPerBucket(target.size)
-    rows.withColumn("_bucket", bucketCol(cur.keyColumns, cur.nBuckets))
-      .repartition(target.size * fpb, col("_bucket"), saltCol(cur.keyColumns, fpb))
-      .write.partitionBy("_bucket").parquet(commitDir.toString)
+    writeBucketed(
+      rows.withColumn("_bucket", bucketCol(cur.keyColumns, cur.nBuckets))
+        .repartition(target.size * fpb, col("_bucket"), saltCol(cur.keyColumns, fpb)),
+      commitDir, cur.bloomColumns)
     val newFiles = listCommitFiles(commitDir, cur.version + 1, delta = false)
     val durMs = (System.nanoTime() - t0) / 1000000
     System.err.println(s"[lake-compact] buckets=${target.size} removed=${targetFiles.size} durMs=$durMs")
@@ -1084,6 +1220,56 @@ class LakeTable(val spark: SparkSession, val root: String) {
     val next = cur.copy(version = cur.version + 1,
       manifests = nextManifests(cur, f => target.contains(f.bucket), newFiles),
       lineage = Some(lineageNode("compact", Map(
+        "buckets" -> target.size.toString,
+        "removedFiles" -> targetFiles.size.toString,
+        "newFiles" -> newFiles.size.toString,
+        "durationMs" -> durMs.toString))))
+    writeSnapshot(next)
+    next
+  }
+
+  /** CLUSTER maintenance commit: rewrite the targeted buckets (default
+    * all) with rows RANGE-LAID-OUT on `columns` — outstanding deltas
+    * fold in (it is also a compaction), then each bucket's rows are
+    * range-partitioned and sorted by `columns`, so sibling files inside
+    * a bucket carry narrow, near-disjoint min/max ranges on those
+    * columns instead of each spanning the whole domain. Manifest stats
+    * ([[readWhere]] / StatsPruner) then prune range predicates down to
+    * the few files whose range overlaps — the difference between
+    * "bucket pruning only" and "bucket × range pruning" at 10^10 rows
+    * is the fraction of each bucket read by a time-windowed query.
+    * Row-group stats inside each file tighten the same way (rows are
+    * sorted), so even intra-file parquet skipping engages.
+    *
+    * Logical state is unchanged (a [[changes]] feed across a cluster
+    * commit is empty); bucket routing is unchanged (key hash), so
+    * point lookups and MERGE pruning are unaffected. */
+  def cluster(columns: Seq[String], buckets: Option[Set[Int]] = None): Snapshot = {
+    val t0 = System.nanoTime()
+    val cur = currentSnapshot.getOrElse(sys.error(s"no table at $root"))
+    require(columns.nonEmpty, "cluster: no columns")
+    validateStatsColumns(cur.schema, columns)
+    val target = buckets.getOrElse((0 until cur.nBuckets).toSet)
+    val (targetFiles, _) = cur.files.partition(f => target.contains(f.bucket))
+    if (targetFiles.isEmpty) return cur.copy(lineage = None)
+    val rows = snapshotRows(cur, targetFiles)
+    val commitRel = s"data/cluster-${cur.version + 1}"
+    val commitDir = new Path(root, commitRel)
+    val fpb = filesPerBucket(target.size)
+    val layout = col("_bucket") +: columns.map(col)
+    writeBucketed(
+      rows.withColumn("_bucket", bucketCol(cur.keyColumns, cur.nBuckets))
+        .repartitionByRange(target.size * fpb, layout: _*)
+        .sortWithinPartitions(layout: _*),
+      commitDir, cur.bloomColumns)
+    val newFiles = listCommitFiles(commitDir, cur.version + 1, delta = false)
+    val durMs = (System.nanoTime() - t0) / 1000000
+    System.err.println(s"[lake-cluster] buckets=${target.size} cols=${columns.mkString(",")} " +
+      s"removed=${targetFiles.size} new=${newFiles.size} durMs=$durMs")
+    val next = cur.copy(version = cur.version + 1,
+      manifests = nextManifests(cur, f => target.contains(f.bucket), newFiles),
+      lineage = Some(lineageNode("cluster", Map(
+        "columns" -> columns.mkString(","),
         "buckets" -> target.size.toString,
         "removedFiles" -> targetFiles.size.toString,
         "newFiles" -> newFiles.size.toString,
@@ -1110,9 +1296,10 @@ class LakeTable(val spark: SparkSession, val root: String) {
     val commitRel = s"data/rebucket-${cur.version + 1}"
     val commitDir = new Path(root, commitRel)
     val fpb = filesPerBucket(newBuckets)
-    rows.withColumn("_bucket", bucketCol(cur.keyColumns, newBuckets))
-      .repartition(newBuckets * fpb, col("_bucket"), saltCol(cur.keyColumns, fpb))
-      .write.partitionBy("_bucket").parquet(commitDir.toString)
+    writeBucketed(
+      rows.withColumn("_bucket", bucketCol(cur.keyColumns, newBuckets))
+        .repartition(newBuckets * fpb, col("_bucket"), saltCol(cur.keyColumns, fpb)),
+      commitDir, cur.bloomColumns)
     val newFiles = listCommitFiles(commitDir, cur.version + 1, delta = false)
     val durMs = (System.nanoTime() - t0) / 1000000
     System.err.println(s"[lake-rebucket] ${cur.nBuckets} -> $newBuckets files=${newFiles.size} durMs=$durMs")

@@ -1,0 +1,129 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.lake.LakeTable
+
+/** Change-data-feed between snapshots: LakeTable.changes(from, to)
+  * emits exactly the keys whose final state differs, stamped
+  * insert/update/delete, scanning only buckets the intervening commits
+  * touched (asserted via DataFrame.inputFiles). */
+class LakeCdfSpec extends AnyFunSuite with SparkSessionTestWrapper {
+
+  private val schema = StructType(Seq(
+    StructField("id", LongType, nullable = false),
+    StructField("name", StringType, nullable = true),
+    StructField("v", LongType, nullable = true)))
+
+  private def rows(lo: Long, hi: Long, tag: String = "a"): DataFrame =
+    spark.range(lo, hi).select(col("id"),
+      concat(lit(s"$tag-"), col("id").cast("string")).as("name"),
+      (col("id") * 10).as("v"))
+
+  private def newTable(nBuckets: Int = 8): LakeTable = {
+    val t = new LakeTable(spark, Scratch.dir("lake-cdf"))
+    t.create(schema, Seq("id"), nBuckets = nBuckets)
+    t
+  }
+
+  /** deltas frame for merge(): payload + operation + offset (lineage) */
+  private def deltas(df: DataFrame, op: String): DataFrame =
+    df.withColumn("operation", lit(op)).withColumn("offset", col("id"))
+
+  private def byType(df: DataFrame): Map[String, Seq[Row]] =
+    df.collect().toSeq.groupBy(_.getAs[String]("_change_type"))
+
+  test("insert / update / delete detected; unchanged keys silent") {
+    val t = newTable()
+    t.append(rows(0, 100), "c0", 0L)
+    val v1 = t.currentVersion.get
+    // commit 1: update ids 0-9 (new name), delete 90-99, insert 100-109
+    t.merge(deltas(rows(0, 10, "b"), "u")
+      .unionByName(deltas(rows(90, 100), "d"))
+      .unionByName(deltas(rows(100, 110), "c")), "c1", 1L)
+    val v2 = t.currentVersion.get
+    val ch = t.changes(v1, Some(v2))
+    val m = byType(ch)
+    assert(m("insert").map(_.getLong(0)).sorted == (100L until 110L))
+    assert(m("update").map(_.getLong(0)).sorted == (0L until 10L))
+    assert(m("update").forall(_.getAs[String]("name").startsWith("b-")))
+    assert(m("delete").map(_.getLong(0)).sorted == (90L until 100L))
+    // delete rows carry the FROM image
+    assert(m("delete").forall(_.getAs[String]("name").startsWith("a-")))
+    assert(ch.count() == 30) // 70 unchanged keys emit nothing
+  }
+
+  test("scan is bounded to touched buckets (manifest file-diff pruning)") {
+    val t = newTable(nBuckets = 8)
+    t.append(rows(0, 800), "c0", 0L)
+    val v1 = t.currentVersion.get
+    // a single-key update touches exactly one bucket
+    t.merge(deltas(rows(5, 6, "b"), "u"), "c1", 1L)
+    val v2 = t.currentVersion.get
+    val ch = t.changes(v1, Some(v2))
+    assert(byType(ch)("update").map(_.getLong(0)) == Seq(5L))
+    val allFiles = t.snapshot(v2).files.size + t.snapshot(v1).files.size
+    val scanned = ch.inputFiles.length
+    assert(scanned < allFiles,
+      s"expected bucket-pruned scan, read $scanned of $allFiles files")
+    // both versions of ONE bucket: at most (files of that bucket in v1)
+    // + (files of it in v2)
+    val touchedBucket = t.snapshot(v2).files
+      .filterNot(f => t.snapshot(v1).files.map(_.path).toSet(f.path))
+      .map(_.bucket).toSet
+    assert(touchedBucket.size == 1)
+  }
+
+  test("merge-on-read deltas and compaction-only rewrites") {
+    val t = newTable()
+    t.append(rows(0, 100), "c0", 0L)
+    val v1 = t.currentVersion.get
+    t.mergeDeltas(deltas(rows(0, 5, "m"), "u"), "c1", 1L)
+    val v2 = t.currentVersion.get
+    val m = byType(t.changes(v1, Some(v2)))
+    assert(m("update").map(_.getLong(0)).sorted == (0L until 5L))
+    assert(m.keySet == Set("update"))
+    // compaction rewrites files but changes no rows → empty feed
+    t.compact()
+    val v3 = t.currentVersion.get
+    assert(t.changes(v2, Some(v3)).count() == 0)
+  }
+
+  test("rebucket falls back to full diff; evolution aligns to to-schema") {
+    val t = newTable(nBuckets = 4)
+    t.append(rows(0, 50), "c0", 0L)
+    val v1 = t.currentVersion.get
+    t.rebucket(8)
+    t.merge(deltas(rows(0, 1, "r"), "u"), "c1", 1L)
+    val v2 = t.currentVersion.get
+    val m = byType(t.changes(v1, Some(v2)))
+    assert(m("update").map(_.getLong(0)) == Seq(0L))
+    assert(m.keySet == Set("update"))
+    // evolution: new column; rows re-written with a non-null value in it
+    // report as updates, untouched rows (null in both) stay silent
+    val t2 = newTable()
+    t2.append(rows(0, 20), "c0", 0L)
+    val e1 = t2.currentVersion.get
+    t2.evolveSchema(StructType(schema.fields :+
+      StructField("extra", StringType, nullable = true)))
+    t2.merge(
+      deltas(rows(0, 3, "a"), "u").withColumn("extra", lit("x")), "c1", 1L)
+    val e2 = t2.currentVersion.get
+    val em = byType(t2.changes(e1, Some(e2)))
+    assert(em("update").map(_.getLong(0)).sorted == (0L until 3L))
+    assert(em("update").forall(_.getAs[String]("extra") == "x"))
+    assert(em.keySet == Set("update"))
+  }
+
+  test("defaults to current snapshot; key-column mismatch rejected") {
+    val t = newTable()
+    t.append(rows(0, 10), "c0", 0L)
+    val v1 = t.currentVersion.get
+    t.merge(deltas(rows(10, 12), "c"), "c1", 1L)
+    assert(byType(t.changes(v1))("insert").map(_.getLong(0)).sorted == Seq(10L, 11L))
+    assert(t.changes(v1, Some(v1)).count() == 0)
+  }
+}
