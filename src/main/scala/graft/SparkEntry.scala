@@ -65,6 +65,55 @@ object SparkEntry {
     (base, upd, del)
   }
 
+  /** Debezium envelopes over the NORTH-RULE transcripts shape
+    * (conv_id, turn_idx, role, text, tool, ts) keyed by
+    * (conv_id, turn_idx), synthesized deterministically from the
+    * customer table: 4 turns per conversation, a STALE and a FINAL
+    * out-of-order update to turn 2 of every %5 conversation (the final
+    * revision is emitted FIRST with the higher offset — LWW by offset
+    * must pick it), and a delete of turn 3 for every %11 conversation.
+    * `ts` rides the wire as int64 epoch-micros (TimestampMicros). */
+  private def transcriptEnvelopes(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer").select(col("c_custkey"), col("c_name"))
+    val turns = c.select(col("c_custkey"), col("c_name"),
+      explode(array(lit(0), lit(1), lit(2), lit(3))).as("turn"))
+    val convId = concat(lit("conv-"), col("c_custkey").cast("string"))
+    def keyJson = to_json(struct(struct(
+      convId.as("conv_id"), col("turn").as("turn_idx")).as("payload")))
+      .cast("binary").as("key")
+    val tsMicros = (lit(1700000000L) + col("c_custkey") * 4 + col("turn")) * 1000000L
+    def row(text: Column) = struct(
+      convId.as("conv_id"), col("turn").as("turn_idx"),
+      when(col("turn") % 2 === 0, "user").otherwise("assistant").as("role"),
+      text.as("text"),
+      when(col("turn") === 3, "search").otherwise(lit(null).cast("string")).as("tool"),
+      tsMicros.as("ts"))
+    def envelope(after: Column, op: String): Column =
+      to_json(struct(struct(after.as("after"),
+        struct(lit("mysql").as("connector")).as("source"),
+        lit(op).as("op")).as("payload"))).cast("binary")
+    def ev(df: DataFrame, after: Column, op: String, offBase: Long) =
+      df.select(keyJson, envelope(after, op).as("value"),
+        lit("cdc.transcripts").as("topic"), lit(0).as("partition"),
+        (col("c_custkey") * 4 + col("turn") + offBase).as("offset"))
+    val base = ev(turns,
+      row(concat(lit("turn "), col("turn").cast("string"), lit(" for "), col("c_name"))), "c", 0L)
+    val turn2 = turns.filter(col("turn") === 2 && col("c_custkey") % 5 === 0)
+    val updFinal = ev(turn2,
+      row(concat(lit("turn 2 for "), col("c_name"), lit(" rev2"))), "u", 10000000L)
+    val updStale = ev(turn2,
+      row(concat(lit("turn 2 for "), col("c_name"), lit(" rev1"))), "u", 5000000L)
+    val del = turns.filter(col("turn") === 3 && col("c_custkey") % 11 === 0)
+      .select(keyJson,
+        to_json(struct(struct(
+          struct(lit("mysql").as("connector")).as("source"),
+          lit("d").as("op")).as("payload"))).cast("binary").as("value"),
+        lit("cdc.transcripts").as("topic"), lit(0).as("partition"),
+        (col("c_custkey") * 4 + col("turn") + 20000000L).as("offset"))
+    // final revision deliberately FIRST in arrival order
+    base.unionByName(updFinal).unionByName(updStale).unionByName(del)
+  }
+
   /** Strict-mode variant of [[customerEnvelopes]]: every event carries the
     * reference-mandated before-image (null for 'c'; previous after-image
     * for 'u'/'d' — DebeziumTransform.scala:577-591), so the strict chain
@@ -289,6 +338,26 @@ object SparkEntry {
     "cdc_first" -> ((s, dir) => {
       ChangeLog.earliestByKey(t(s, dir, "events"), Seq("user_id"), "event_id")
         .select("user_id", "event_id", "event_type", "value")
+    }),
+    "cdc_transcripts_roundtrip" -> ((s, dir) => {
+      // BASELINE.json's per-row invariant VERBATIM in the gate: decode +
+      // LWW-apply CDC over the north-rule transcripts shape keyed by
+      // (conv_id, turn_idx) — including an out-of-order stale/final
+      // revision pair and turn deletes — then reassemble every
+      // conversation under STABLE TURN ORDERING and emit one joined
+      // text per conversation. A wrong turn order, a lost update, a
+      // stale revision winning LWW, or an undeleted turn all
+      // hash-mismatch against the oracle's by-formula reconstruction.
+      val events = transcriptEnvelopes(s, dir)
+      val state = CdcApply.applyNonStrict(EnvelopeDecoder.decodeRelational(
+        events, CdcSchema.transcripts,
+        DecodeOptions(strict = false, validate = true)))
+      state.groupBy(col("conv_id")).agg(
+        array_join(transform(
+          array_sort(collect_list(struct(col("turn_idx"), col("text")))),
+          x => x.getField("text")), "\n").as("convo_text"),
+        count(lit(1)).as("n_turns"),
+        sum(when(col("tool").isNotNull, 1L).otherwise(0L)).as("n_tool_turns"))
     }),
     "cdc_merge" -> ((s, dir) => {
       val ev = t(s, dir, "events").select("user_id", "event_id", "event_type", "value")
@@ -539,8 +608,31 @@ object SparkEntry {
         statsColumns = Seq("value"))
       table.append(ev, "a", 0L)
       table.cluster(Seq("value"))
-      table.readWhere(col("value") >= 400.0)
+      table.readWhere(col("value") >= 100.0)
         .select("event_id", "user_id", "event_type", "value")
+    }),
+    "cdc_lake_sql" -> ((s, dir) => {
+      // the SQL surface end to end: a lake table exposed via CREATE
+      // TEMPORARY VIEW USING graft-lake (HadoopFsRelation over the
+      // manifest-backed FileIndex — snapshot isolation + StatsPruner
+      // file skipping INSIDE Spark's scan planning, vectorized reader
+      // and codegen untouched), queried in pure SQL. The value-range
+      // predicate prunes files via manifest stats ([lake-sql] stderr
+      // line) before pushing into the parquet scan.
+      val ev = t(s, dir, "events").filter(col("event_id") % 8 === 0)
+        .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+      val tmp = graft.Scratch.dir("lake-sql-gate")
+      val table = new graft.lake.LakeTable(s, tmp)
+      table.create(ev.schema, Seq("event_id"), nBuckets = 8,
+        statsColumns = Seq("value"))
+      table.append(ev, "a", 0L)
+      table.cluster(Seq("value"))
+      s.sql(s"CREATE OR REPLACE TEMPORARY VIEW lake_sql_gate " +
+        s"USING `graft-lake` OPTIONS (path '$tmp')")
+      s.sql("""SELECT event_type, count(*) AS n,
+              |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+              |FROM lake_sql_gate WHERE value >= 100.0
+              |GROUP BY event_type""".stripMargin)
     }),
     "cdc_lake_changes" -> ((s, dir) => {
       // change-data-feed between snapshots: commit 0 ingests the even
@@ -1016,6 +1108,24 @@ object SparkEntry {
         |  SELECT user_id, event_id, event_type, value,
         |         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id ASC) rn
         |  FROM events) WHERE rn = 1""".stripMargin,
+    "cdc_transcripts_roundtrip" ->
+      // final transcripts state by formula: %5 conversations' turn 2
+      // carries the FINAL ' rev2' revision (the stale ' rev1' lost LWW),
+      // %11 conversations lost turn 3
+      """WITH turns AS (
+        |  SELECT 'conv-' || CAST(c_custkey AS VARCHAR) AS conv_id,
+        |         t.turn AS turn_idx,
+        |         CASE WHEN t.turn = 2 AND c_custkey % 5 = 0
+        |              THEN 'turn 2 for ' || c_name || ' rev2'
+        |              ELSE 'turn ' || CAST(t.turn AS VARCHAR) || ' for ' || c_name END AS text,
+        |         CASE WHEN t.turn = 3 THEN 'search' END AS tool
+        |  FROM customer CROSS JOIN (SELECT unnest([0,1,2,3]) AS turn) t
+        |  WHERE NOT (t.turn = 3 AND c_custkey % 11 = 0))
+        |SELECT conv_id,
+        |       string_agg(text, chr(10) ORDER BY turn_idx) AS convo_text,
+        |       count(*) AS n_turns,
+        |       CAST(sum(CASE WHEN tool IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_tool_turns
+        |FROM turns GROUP BY conv_id""".stripMargin,
     "cdc_merge" ->
       """WITH snap AS (
         |  SELECT user_id, event_id, event_type, value FROM (
@@ -1247,7 +1357,12 @@ object SparkEntry {
         |FROM events WHERE event_id % 97 = 0""".stripMargin,
     "cdc_lake_cluster" ->
       """SELECT event_id, user_id, event_type, value
-        |FROM events WHERE event_id % 4 = 0 AND value >= 400.0""".stripMargin,
+        |FROM events WHERE event_id % 4 = 0 AND value >= 100.0""".stripMargin,
+    "cdc_lake_sql" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |FROM events WHERE event_id % 8 = 0 AND value >= 100.0
+        |GROUP BY event_type""".stripMargin,
     "cdc_lake_changes" ->
       // the expected feed, recomputed from the workload formulas:
       // commit 0 = even keys; commit 1 = odd creates + %3 updates + %7

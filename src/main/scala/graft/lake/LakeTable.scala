@@ -574,6 +574,72 @@ class LakeTable(val spark: SparkSession, val root: String) {
         payloadCols.map(c => col(s"_img.$c").as(c)) :+ col("_change_type"): _*)
   }
 
+  /** Durable change-feed consumer position: the newest table version
+    * this consumer has acknowledged, None before the first ack. Stored
+    * as one tiny JSON file per consumer under `metadata/consumers/` —
+    * O(1) regardless of table size, invisible to snapshots. */
+  def consumerPosition(consumerId: String): Option[Int] = {
+    val p = consumerFile(consumerId)
+    if (!fs.exists(p)) None
+    else Some(mapper.readTree(readFully(p)).get("version").asInt())
+  }
+
+  /** Incremental change-feed consumption: everything that changed since
+    * `consumerId`'s last acknowledged version, plus the version the feed
+    * runs to. First call (no position) BOOTSTRAPS: the full current
+    * state as `insert` rows — reading the snapshot directly instead of
+    * diffing against the empty v0 (same result, no join, and v0 may
+    * already be expired).
+    *
+    * At-least-once by construction: process the feed durably, then
+    * [[ackChanges]](consumerId, toVersion). A crash before the ack
+    * replays the identical interval (the feed is deterministic for a
+    * fixed version pair); a downstream [[merge]] keyed on
+    * (consumerId, toVersion) makes the replay exactly-once — see
+    * LakeCdfSpec's lake-to-lake test. */
+  def changesSince(consumerId: String): (DataFrame, Int) = {
+    val to = currentVersion.getOrElse(sys.error(s"no table at $root"))
+    consumerPosition(consumerId) match {
+      case Some(from) =>
+        require(listVersions.contains(from),
+          s"consumer '$consumerId' position v$from is expired; " +
+            "re-bootstrap (delete the consumer) or raise expireSnapshots retention")
+        (changes(from, Some(to)), to)
+      case None =>
+        val snap = snapshot(to)
+        val keyCols = snap.keyColumns
+        val payloadCols = snap.schema.fieldNames.filterNot(keyCols.contains).toSeq
+        (read(Some(to))
+          .select((keyCols ++ payloadCols).map(col): _*)
+          .withColumn("_change_type", lit("insert")), to)
+    }
+  }
+
+  /** Advance a consumer's acknowledged position (monotone; regressions
+    * rejected). Write is small-file replace — a crash mid-ack leaves
+    * either the old or no position, both of which only cause replay. */
+  def ackChanges(consumerId: String, version: Int): Unit = {
+    val cur = currentVersion.getOrElse(sys.error(s"no table at $root"))
+    require(version <= cur, s"ack v$version is ahead of the table (v$cur)")
+    require(consumerPosition(consumerId).forall(_ <= version),
+      s"ack regression for '$consumerId': ${consumerPosition(consumerId)} -> v$version")
+    val dir = new Path(metaDir, "consumers")
+    fs.mkdirs(dir)
+    val p = consumerFile(consumerId)
+    val tmp = new Path(dir, s".${p.getName}.tmp-${java.util.UUID.randomUUID()}")
+    val node = mapper.createObjectNode()
+    node.put("version", version)
+    val out = fs.create(tmp, false)
+    try out.write(mapper.writeValueAsBytes(node)) finally out.close()
+    if (fs.exists(p)) fs.delete(p, false)
+    if (!fs.rename(tmp, p)) { fs.delete(tmp, false); sys.error(s"ack publish failed: $p") }
+  }
+
+  private def consumerFile(consumerId: String): Path = {
+    require(consumerId.matches("[A-Za-z0-9._-]+"), s"invalid consumer id '$consumerId'")
+    new Path(new Path(metaDir, "consumers"), s"$consumerId.json")
+  }
+
   /** read() restricted to a bucket subset of a given snapshot (None =
     * all buckets); MoR buckets reconstruct, pure-base buckets scan. */
   private def snapBucketsRead(snap: Snapshot, buckets: Option[Set[Int]]): DataFrame = {

@@ -118,6 +118,55 @@ class LakeCdfSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(em.keySet == Set("update"))
   }
 
+  test("consumer positions: bootstrap, incremental replay, ack monotonicity") {
+    val t = newTable()
+    t.append(rows(0, 50), "c0", 0L)
+    val (boot, v1) = t.changesSince("reader")
+    assert(boot.filter(col("_change_type") === "insert").count() == 50)
+    assert(boot.count() == 50)
+    t.ackChanges("reader", v1)
+    assert(t.changesSince("reader")._1.count() == 0)
+    t.merge(deltas(rows(0, 5, "b"), "u"), "c1", 1L)
+    val (inc, v2) = t.changesSince("reader")
+    assert(inc.count() == 5)
+    // crash before ack -> identical interval replays
+    assert(t.changesSince("reader")._1.count() == 5)
+    t.ackChanges("reader", v2)
+    assert(t.changesSince("reader")._1.count() == 0)
+    assert(t.consumerPosition("reader").contains(v2))
+    intercept[IllegalArgumentException](t.ackChanges("reader", v1))
+    intercept[IllegalArgumentException](t.ackChanges("reader", v2 + 10))
+    intercept[IllegalArgumentException](t.changesSince("../evil"))
+  }
+
+  test("lake-to-lake sync: downstream merge keyed on (consumer, version) is exactly-once") {
+    val a = newTable()
+    val b = newTable()
+    a.append(rows(0, 40), "c0", 0L)
+    def sync(ack: Boolean = true): Unit = {
+      val (feed, to) = a.changesSince("b-sync")
+      val ds = feed.withColumn("operation",
+          when(col("_change_type") === "delete", lit("d"))
+            .when(col("_change_type") === "update", lit("u"))
+            .otherwise(lit("c")))
+        .withColumn("offset", lit(to.toLong))
+        .drop("_change_type")
+      b.merge(ds, "b-sync", to.toLong)
+      if (ack) a.ackChanges("b-sync", to)
+    }
+    sync()
+    assert(b.read().count() == 40)
+    a.merge(deltas(rows(0, 3, "z"), "u").unionByName(deltas(rows(38, 40), "d")), "c1", 1L)
+    sync(ack = false) // downstream applied, then "crash" before the ack
+    sync() // replay: merge's (checkpointId, batchId) makes the re-apply a no-op
+    val st = b.read().collect().map(r => (r.getLong(0), r.getAs[String]("name"))).toMap
+    assert(st.size == 38)
+    assert(st(0L).startsWith("z-"))
+    assert(!st.contains(38L) && !st.contains(39L))
+    // a and b agree key-for-key after the chain
+    assert(a.read().collect().map(r => (r.getLong(0), r.getAs[String]("name"))).toMap == st)
+  }
+
   test("defaults to current snapshot; key-column mismatch rejected") {
     val t = newTable()
     t.append(rows(0, 10), "c0", 0L)

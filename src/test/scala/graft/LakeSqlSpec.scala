@@ -1,0 +1,125 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.lake.LakeTable
+
+/** The `graft-lake` Spark data source: HadoopFsRelation over the
+  * manifest-backed LakeFileIndex — snapshot isolation + StatsPruner
+  * file skipping inside Spark's own scan planning, vectorized reader
+  * and codegen unchanged. */
+class LakeSqlSpec extends AnyFunSuite with SparkSessionTestWrapper {
+
+  private val schema = StructType(Seq(
+    StructField("id", LongType, nullable = false),
+    StructField("v", LongType, nullable = true)))
+
+  private def newTable(statsCols: Seq[String] = Seq("v")): LakeTable = {
+    val t = new LakeTable(spark, Scratch.dir("lake-sql"))
+    t.create(schema, Seq("id"), nBuckets = 4, statsColumns = statsCols)
+    t
+  }
+
+  private def rows(lo: Long, hi: Long): DataFrame =
+    spark.range(lo, hi).select(col("id"), (col("id") * 7).as("v"))
+
+  private def scans(p: SparkPlan): Seq[FileSourceScanExec] = p.collect {
+    case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+    case s: FileSourceScanExec => Seq(s)
+  }.flatten
+
+  test("format round trip equals LakeTable.read; filters push to parquet") {
+    val t = newTable()
+    t.append(rows(0, 5000), "c0", 0L)
+    val df = spark.read.format("graft-lake").load(t.root)
+    assert(df.schema.fieldNames.toSeq == Seq("id", "v"))
+    assert(df.count() == 5000)
+    assert(df.agg(sum("v")).head.getLong(0) == t.read().agg(sum("v")).head.getLong(0))
+    val q = df.filter(col("v") === 21L)
+    assert(q.collect().map(_.getLong(0)).toSeq == Seq(3L))
+    // the filter reached the parquet scan
+    q.collect()
+    val s = scans(q.queryExecution.executedPlan)
+    assert(s.nonEmpty)
+    assert(s.head.metadata("PushedFilters").contains("v"), s.head.metadata("PushedFilters"))
+  }
+
+  test("listFiles prunes via manifest stats for range predicates") {
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "16")
+    try {
+      val t = newTable()
+      t.append(spark.range(0, 20000).select(col("id"),
+        ((col("id") * 2654435761L) % 10000).as("v")), "c0", 0L)
+      t.cluster(Seq("v"))
+      val total = t.currentSnapshot.get.files.size
+      val q = spark.read.format("graft-lake").load(t.root)
+        .filter(col("v") >= 9000 && col("v") < 9500)
+      q.collect()
+      val s = scans(q.queryExecution.executedPlan)
+      val numFiles = s.map(_.metrics("numFiles").value).sum
+      assert(numFiles * 2 <= total,
+        s"scan planned $numFiles of $total files; manifest pruning inactive")
+      // and the answer is right
+      assert(q.count() ==
+        t.read().filter(col("v") >= 9000 && col("v") < 9500).count())
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+  }
+
+  test("versionAsOf time travel") {
+    val t = newTable()
+    t.append(rows(0, 100), "c0", 0L)
+    val v1 = t.currentVersion.get
+    t.merge(rows(100, 150).withColumn("operation", lit("c"))
+      .withColumn("offset", col("id")), "c1", 1L)
+    assert(spark.read.format("graft-lake").load(t.root).count() == 150)
+    assert(spark.read.format("graft-lake")
+      .option("versionAsOf", v1.toString).load(t.root).count() == 100)
+  }
+
+  test("SQL: CREATE TEMPORARY VIEW USING graft-lake") {
+    val t = newTable()
+    t.append(rows(0, 300), "c0", 0L)
+    spark.sql(s"""CREATE OR REPLACE TEMPORARY VIEW lake_sql_t
+      USING `graft-lake` OPTIONS (path '${t.root}')""")
+    val r = spark.sql(
+      "SELECT count(*) AS n, sum(v) AS s FROM lake_sql_t WHERE id < 10").head
+    assert(r.getLong(0) == 10)
+    assert(r.getLong(1) == (0 until 10).map(_ * 7).sum)
+  }
+
+  test("outstanding merge-on-read deltas are rejected with remediation") {
+    val t = newTable()
+    t.append(rows(0, 100), "c0", 0L)
+    t.mergeDeltas(rows(0, 5).withColumn("operation", lit("u"))
+      .withColumn("offset", col("id")), "c1", 1L)
+    val e = intercept[Exception] {
+      spark.read.format("graft-lake").load(t.root).count()
+    }
+    assert(e.getMessage.contains("read-optimized") ||
+      Option(e.getCause).exists(_.getMessage.contains("read-optimized")))
+    // after compaction the relation serves the merged state
+    t.compact()
+    val folded = spark.read.format("graft-lake").load(t.root)
+    assert(folded.count() == 100)
+  }
+
+  test("schema evolution: old files read through the new schema") {
+    val t = newTable(statsCols = Nil)
+    t.append(rows(0, 50), "c0", 0L)
+    t.evolveSchema(StructType(schema.fields :+
+      StructField("extra", StringType, nullable = true)))
+    t.merge(rows(50, 60).withColumn("extra", lit("x"))
+      .withColumn("operation", lit("c")).withColumn("offset", col("id")),
+      "c1", 1L)
+    val df = spark.read.format("graft-lake").load(t.root)
+    assert(df.schema.fieldNames.toSeq == Seq("id", "v", "extra"))
+    assert(df.filter(col("extra").isNull).count() == 50)
+    assert(df.filter(col("extra") === "x").count() == 10)
+  }
+}
