@@ -611,6 +611,58 @@ object SparkEntry {
       table.readWhere(col("value") >= 100.0)
         .select("event_id", "user_id", "event_type", "value")
     }),
+    "stream_lake_cdf" -> ((s, dir) => {
+      // STREAMING CDF out of the lake as a judged query: a REAL
+      // readStream.format("graft-lake") query (table version =
+      // checkpointed stream offset) tails the table across two commits.
+      // Batch 0 bootstraps the committed evens as inserts; batch 1
+      // delivers exactly the second commit's feed (updates carry the new
+      // image, deletes the pre-commit image; merge() contracts a
+      // REDUCED batch, so the op classes are disjoint). The per-batch collect is
+      // the harness necessity (bounded: %5 key subset); the feed itself
+      // is the distributed manifest-bounded snapshot diff.
+      import org.apache.spark.sql.Row
+      import org.apache.spark.sql.types.{StructType, StructField}
+      val k = col("c_custkey")
+      val c = t(s, dir, "customer").filter(k % 5 === 0)
+        .select(k, col("c_name"))
+      val tmp = graft.Scratch.dir("lake-cdf-stream-gate")
+      val table = new graft.lake.LakeTable(s, tmp)
+      table.create(c.schema, Seq("c_custkey"), nBuckets = 8)
+      table.append(c.filter(k % 2 === 0), "c0", 0L)
+      val buf = scala.collection.mutable.Buffer.empty[Row]
+      val q = s.readStream.format("graft-lake").load(tmp)
+        .writeStream
+        .option("checkpointLocation", graft.Scratch.dir("lake-cdf-stream-ckpt"))
+        .foreachBatch { (df: org.apache.spark.sql.Dataset[Row], id: Long) =>
+          val rs = df.collect()
+          buf.synchronized {
+            buf ++= rs.map(r => Row(id, r.getLong(0), r.getString(1), r.getString(2)))
+          }
+          ()
+        }
+        .start()
+      q.processAllAvailable()
+      val evens = c.filter(k % 2 === 0)
+      val deltas =
+        c.filter(k % 2 === 1)
+          .withColumn("operation", lit("c")).withColumn("offset", k)
+        .unionByName(evens.filter(k % 3 === 0 && k % 7 =!= 0)
+          .select(k, concat(col("c_name"), lit(" rev2")).as("c_name"))
+          .withColumn("operation", lit("u")).withColumn("offset", k + 1000000L))
+        .unionByName(evens.filter(k % 7 === 0)
+          .withColumn("operation", lit("d")).withColumn("offset", k + 2000000L))
+      table.merge(deltas, "c1", 1L)
+      q.processAllAvailable()
+      q.stop()
+      val outSchema = StructType(Seq(
+        StructField("batch", org.apache.spark.sql.types.LongType, nullable = false),
+        StructField("c_custkey", org.apache.spark.sql.types.LongType, nullable = false),
+        StructField("c_name", org.apache.spark.sql.types.StringType, nullable = true),
+        StructField("_change_type", org.apache.spark.sql.types.StringType, nullable = true)))
+      s.createDataFrame(new java.util.ArrayList(
+        scala.jdk.CollectionConverters.BufferHasAsJava(buf).asJava), outSchema)
+    }),
     "cdc_lake_sql" -> ((s, dir) => {
       // the SQL surface end to end: a lake table exposed via CREATE
       // TEMPORARY VIEW USING graft-lake (HadoopFsRelation over the
@@ -1358,6 +1410,24 @@ object SparkEntry {
     "cdc_lake_cluster" ->
       """SELECT event_id, user_id, event_type, value
         |FROM events WHERE event_id % 4 = 0 AND value >= 100.0""".stripMargin,
+    "stream_lake_cdf" ->
+      // batch 0 = bootstrap inserts of the committed evens; batch 1 =
+      // the second commit's feed (deletes carry the pre-commit image)
+      """SELECT CAST(0 AS BIGINT) AS batch, c_custkey, c_name,
+        |       'insert' AS _change_type
+        |FROM customer WHERE c_custkey % 5 = 0 AND c_custkey % 2 = 0
+        |UNION ALL
+        |SELECT 1, c_custkey, c_name || ' rev2', 'update'
+        |FROM customer
+        |WHERE c_custkey % 5 = 0 AND c_custkey % 2 = 0
+        |  AND c_custkey % 3 = 0 AND c_custkey % 7 <> 0
+        |UNION ALL
+        |SELECT 1, c_custkey, c_name, 'delete'
+        |FROM customer
+        |WHERE c_custkey % 5 = 0 AND c_custkey % 2 = 0 AND c_custkey % 7 = 0
+        |UNION ALL
+        |SELECT 1, c_custkey, c_name, 'insert'
+        |FROM customer WHERE c_custkey % 5 = 0 AND c_custkey % 2 = 1""".stripMargin,
     "cdc_lake_sql" ->
       """SELECT event_type, count(*) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value

@@ -2,13 +2,22 @@ package graft.lake
 
 import org.apache.hadoop.fs.{FileStatus, Path}
 
-import org.apache.spark.sql.{SparkSession, SQLContext}
+import org.apache.spark.sql.{DataFrame, SparkSession, SQLContext}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{And, Expression, Literal}
 import org.apache.spark.sql.execution.datasources.{FileIndex, HadoopFsRelation, PartitionDirectory}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
-import org.apache.spark.sql.sources.{BaseRelation, DataSourceRegister, RelationProvider}
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.execution.streaming.{Offset => V1Offset, Sink, Source}
+import org.apache.spark.sql.execution.streaming.runtime.{LongOffset, SerializedOffset}
+import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.graftshim
+import org.apache.spark.sql.sources.{BaseRelation, DataSourceRegister, RelationProvider, StreamSinkProvider, StreamSourceProvider}
+import org.apache.spark.sql.streaming.OutputMode
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
+
+import graft.decode.DecodeOptions
+import graft.model.ArcSchemaParser
+import graft.streaming.CdcPipeline
 
 /** Spark-native SQL surface for [[LakeTable]] snapshots:
   *
@@ -40,18 +49,24 @@ import org.apache.spark.sql.types.StructType
   * reconstruction). This mirrors Hive/Hudi's read-optimized vs
   * real-time view split.
   */
-class LakeDataSource extends RelationProvider with DataSourceRegister {
+class LakeDataSource extends RelationProvider with StreamSourceProvider
+    with StreamSinkProvider with DataSourceRegister {
   override def shortName(): String = "graft-lake"
+
+  private def opt(parameters: Map[String, String], name: String): Option[String] =
+    parameters.collectFirst { case (k, v) if k.equalsIgnoreCase(name) => v }
+
+  private def tableFor(ctx: SQLContext, parameters: Map[String, String]): LakeTable = {
+    val root = opt(parameters, "path").getOrElse(
+      sys.error("graft-lake: 'path' option is required (the table root)"))
+    new LakeTable(ctx.sparkSession, root)
+  }
 
   override def createRelation(ctx: SQLContext,
       parameters: Map[String, String]): BaseRelation = {
-    def opt(name: String): Option[String] =
-      parameters.collectFirst { case (k, v) if k.equalsIgnoreCase(name) => v }
-    val root = opt("path").getOrElse(
-      sys.error("graft-lake: 'path' option is required (the table root)"))
     val spark = ctx.sparkSession
-    val table = new LakeTable(spark, root)
-    val version = opt("versionAsOf").map(_.toInt)
+    val table = tableFor(ctx, parameters)
+    val version = opt(parameters, "versionAsOf").map(_.toInt)
     val index = new LakeFileIndex(spark, table, version)
     HadoopFsRelation(
       location = index,
@@ -60,6 +75,135 @@ class LakeDataSource extends RelationProvider with DataSourceRegister {
       bucketSpec = None,
       fileFormat = new ParquetFileFormat,
       options = Map.empty)(spark)
+  }
+
+  // ------------------------------------------------------ streaming CDF
+
+  override def sourceSchema(ctx: SQLContext, schema: Option[StructType],
+      providerName: String, parameters: Map[String, String]): (String, StructType) =
+    (shortName(), LakeChangeSource.feedSchema(tableFor(ctx, parameters)))
+
+  override def createSource(ctx: SQLContext, metadataPath: String,
+      schema: Option[StructType], providerName: String,
+      parameters: Map[String, String]): Source =
+    new LakeChangeSource(ctx, tableFor(ctx, parameters),
+      opt(parameters, "startingVersion").map(_.toInt))
+
+  // ------------------------------------------------------ streaming sink
+
+  /** `envelopes.writeStream.format("graft-lake")` — the FULL CDC ingest
+    * pipeline (decode → validate → LWW reduce → MERGE) as a declarative
+    * streaming sink. Options: `path` (table root; auto-created from the
+    * declared schema when absent), `schemaJson` (Arc schema) + `keys`
+    * (comma-separated key columns), `connector` (required — a stream's
+    * first event cannot be sniffed, reference :554-565), and the
+    * CdcPipeline knobs `strict`/`validate`/`mergeOnRead`/`autoEvolve`/
+    * `autoCompact`/`nBuckets`/`checkpointId`. Exactly-once: the lake's
+    * idempotent (checkpointId, batchId) commit makes engine-replayed
+    * micro-batches no-ops — same anchor the foreachBatch path uses. */
+  override def createSink(ctx: SQLContext, parameters: Map[String, String],
+      partitionColumns: Seq[String], outputMode: OutputMode): Sink = {
+    val spark = ctx.sparkSession
+    val table = tableFor(ctx, parameters)
+    val schemaJson = opt(parameters, "schemaJson").getOrElse(
+      sys.error("graft-lake sink: 'schemaJson' (Arc schema) is required"))
+    val keys = opt(parameters, "keys")
+      .map(_.split(",").map(_.trim).toSeq)
+      .getOrElse(sys.error("graft-lake sink: 'keys' is required"))
+    val cdcSchema = ArcSchemaParser.parse(schemaJson, keys)
+    val connector = opt(parameters, "connector").getOrElse(
+      sys.error("graft-lake sink: 'connector' is required for streams"))
+    if (table.currentVersion.isEmpty)
+      table.create(cdcSchema.structType, cdcSchema.keyNames,
+        nBuckets = opt(parameters, "nBuckets").map(_.toInt).getOrElse(32))
+    def flag(name: String, default: Boolean): Boolean =
+      opt(parameters, name).map(_.toBoolean).getOrElse(default)
+    val pipe = new CdcPipeline(spark, cdcSchema, table,
+      DecodeOptions(
+        strict = flag("strict", true),
+        validate = flag("validate", true),
+        connector = Some(connector)),
+      checkpointId = opt(parameters, "checkpointId").getOrElse("graft-lake-sink"),
+      mergeOnRead = flag("mergeOnRead", false),
+      autoCompact = opt(parameters, "autoCompact").map(_.toInt).getOrElse(8),
+      autoEvolve = flag("autoEvolve", false))
+    new LakeCdcSink(pipe)
+  }
+}
+
+/** V1 streaming sink delegating each micro-batch to
+  * [[CdcPipeline.processBatch]] (decode → apply → idempotent commit). */
+class LakeCdcSink(val pipeline: CdcPipeline) extends Sink {
+  override def addBatch(batchId: Long, data: org.apache.spark.sql.DataFrame): Unit =
+    pipeline.processBatch(graftshim.asBatchDataFrame(data), batchId)
+  override def toString: String = s"LakeCdcSink[${pipeline.table.root}]"
+}
+
+/** Structured Streaming CDF source: `spark.readStream
+  * .format("graft-lake").load(root)` tails the table's change feed —
+  * V1 `Source` with the TABLE VERSION as the stream offset, so the
+  * streaming engine's checkpoint (offset log + commit log) anchors
+  * exactly-once delivery of the feed with zero source-side state: on
+  * restart the engine hands back the checkpointed version and the
+  * batch re-plans deterministically (snapshot diff of immutable
+  * versions).
+  *
+  * The first batch BOOTSTRAPS (full snapshot as `insert` rows) unless
+  * `startingVersion` is given, in which case the feed starts from that
+  * committed version (0 = everything since table creation). Each
+  * subsequent micro-batch is `changes(lastVersion, headVersion)` —
+  * bucket-bounded by the manifest file-diff, O(touched data) not
+  * O(table). Schema is pinned at stream start (evolved columns appear
+  * to new streams; running streams keep their declared projection). */
+class LakeChangeSource(ctx: SQLContext, table: LakeTable,
+    startingVersion: Option[Int]) extends Source {
+
+  private val declared = LakeChangeSource.feedSchema(table)
+
+  override def schema: StructType = declared
+
+  override def getOffset: Option[V1Offset] =
+    table.currentVersion.map(v => LongOffset(v.toLong))
+
+  private def versionOf(o: V1Offset): Int = o match {
+    case LongOffset(v) => v.toInt
+    case SerializedOffset(json) => json.trim.toInt // restart: engine replays raw json
+    case other => other.json.trim.toInt
+  }
+
+  override def getBatch(start: Option[V1Offset], end: V1Offset): DataFrame = {
+    val to = versionOf(end)
+    val feed = start.map(versionOf).orElse(startingVersion) match {
+      case Some(from) => table.changes(from, Some(to))
+      case None => // bootstrap: current state as inserts, no diff join
+        val snap = table.snapshot(to)
+        val keyCols = snap.keyColumns
+        val payload = snap.schema.fieldNames.filterNot(keyCols.contains).toSeq
+        table.read(Some(to))
+          .select((keyCols ++ payload).map(col): _*)
+          .withColumn("_change_type", lit("insert"))
+    }
+    // pin the stream's declared projection (pre-evolution streams keep
+    // their columns; the feed's to-schema may have grown)
+    val projected = feed.select(declared.fieldNames.map(col).toSeq: _*)
+    graftshim.internalCreateDataFrame(ctx,
+      projected.queryExecution.toRdd, declared)
+  }
+
+  override def stop(): Unit = ()
+}
+
+object LakeChangeSource {
+  /** key columns ++ payload columns ++ `_change_type` — the
+    * [[LakeTable.changes]] output shape. */
+  def feedSchema(table: LakeTable): StructType = {
+    val snap = table.currentSnapshot
+      .getOrElse(sys.error(s"graft-lake: no table at ${table.root}"))
+    val keyCols = snap.keyColumns
+    val payload = snap.schema.fields.filterNot(f => keyCols.contains(f.name))
+    StructType(
+      keyCols.map(n => snap.schema(snap.schema.fieldIndex(n))) ++
+        payload :+ StructField("_change_type", StringType, nullable = true))
   }
 }
 

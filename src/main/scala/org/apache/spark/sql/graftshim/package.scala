@@ -16,4 +16,25 @@ package object graftshim {
     * the manifest-stats pruner — can interpret the predicate shape. */
   def toCatalyst(c: Column): Expression =
     classic.ColumnNodeToExpressionConverter.apply(c.node)
+
+  /** Streaming-tagged DataFrame from an InternalRow RDD — what a V1
+    * streaming `Source.getBatch` must return (the batch is planned
+    * inside a streaming query, so its leaves must be marked streaming;
+    * Delta's DeltaSource uses the same internal constructor). */
+  def internalCreateDataFrame(ctx: SQLContext,
+      rdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow],
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    ctx.asInstanceOf[classic.SQLContext]
+      .internalCreateDataFrame(rdd, schema, isStreaming = true)
+
+  /** Re-plan a streaming micro-batch Dataset as a BATCH DataFrame (what
+    * `Sink.addBatch` receives cannot be fed to batch operators
+    * directly) — ForeachBatchSink's own trick: wrap the planned
+    * InternalRow RDD in a non-streaming LogicalRDD. */
+  def asBatchDataFrame(df: DataFrame): DataFrame = {
+    val ds = df.asInstanceOf[classic.Dataset[Row]]
+    val node = execution.LogicalRDD.fromDataset(
+      ds.queryExecution.toRdd, ds, isStreaming = false)
+    classic.Dataset.ofRows(ds.sparkSession, node)
+  }
 }
