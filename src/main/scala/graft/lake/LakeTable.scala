@@ -1411,13 +1411,39 @@ class LakeTable(val spark: SparkSession, val root: String) {
   /** Drop snapshot metadata older than the newest `keepLast` versions.
     * Expired versions are no longer time-travel readable; their
     * exclusively-referenced data files become vacuum-able. Returns the
-    * expired version numbers. */
-  def expireSnapshots(keepLast: Int): Seq[Int] = {
+    * expired version numbers.
+    *
+    * Registered change-feed consumers ([[changesSince]]) pin retention:
+    * a version at or after the SLOWEST consumer's acknowledged position
+    * is never expired (the consumer's next increment diffs from that
+    * version), so a lagging consumer can always resume instead of
+    * re-bootstrapping the whole table — the operational difference
+    * between a stalled downstream and a 10^10-row re-sync. Pass
+    * `respectConsumers = false` to expire anyway (the lagging
+    * consumer's next [[changesSince]] then fails with the re-bootstrap
+    * remediation rather than silently losing changes). */
+  def expireSnapshots(keepLast: Int, respectConsumers: Boolean = true): Seq[Int] = {
     require(keepLast >= 1, "must retain at least the current snapshot")
     val versions = listVersions
-    val expired = versions.dropRight(keepLast)
+    val floor: Int =
+      if (!respectConsumers) Int.MaxValue
+      else consumerPositions().values.reduceOption(_ min _).getOrElse(Int.MaxValue)
+    val expired = versions.dropRight(keepLast).filter(_ < floor)
     expired.foreach(v => fs.delete(versionFile(v), false))
     expired
+  }
+
+  /** All registered change-feed consumers and their acknowledged
+    * versions. */
+  def consumerPositions(): Map[String, Int] = {
+    val dir = new Path(metaDir, "consumers")
+    if (!fs.exists(dir)) Map.empty
+    else fs.listStatus(dir).toSeq
+      .filter(s => s.getPath.getName.endsWith(".json"))
+      .map { s =>
+        val id = s.getPath.getName.stripSuffix(".json")
+        id -> mapper.readTree(readFully(s.getPath)).get("version").asInt()
+      }.toMap
   }
 
   /** Delete data files not referenced by any RETAINED snapshot — orphans

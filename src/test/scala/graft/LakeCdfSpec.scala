@@ -167,6 +167,31 @@ class LakeCdfSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(a.read().collect().map(r => (r.getLong(0), r.getAs[String]("name"))).toMap == st)
   }
 
+  test("expireSnapshots pins retention at the slowest consumer position") {
+    val t = newTable()
+    t.append(rows(0, 20), "c0", 0L)
+    val (_, v1) = t.changesSince("slow")
+    t.ackChanges("slow", v1)
+    t.merge(deltas(rows(0, 1, "b"), "u"), "c1", 1L)
+    t.merge(deltas(rows(1, 2, "b"), "u"), "c2", 2L)
+    val vHead = t.currentVersion.get
+    val expired = t.expireSnapshots(1)
+    assert(!expired.contains(v1), "the slow consumer's position must be retained")
+    assert(t.consumerPositions() == Map("slow" -> v1))
+    // the lagging consumer still resumes incrementally (keys 0 and 1)
+    assert(t.changesSince("slow")._1.count() == 2)
+    // once caught up, the old versions are expirable
+    t.ackChanges("slow", vHead)
+    assert(t.expireSnapshots(1).contains(v1))
+    // respectConsumers=false expires regardless; the stranded consumer
+    // fails with the re-bootstrap remediation instead of losing changes
+    t.merge(deltas(rows(2, 3, "b"), "u"), "c3", 3L)
+    val stranded = t.expireSnapshots(1, respectConsumers = false)
+    assert(stranded.contains(vHead))
+    val e = intercept[IllegalArgumentException](t.changesSince("slow"))
+    assert(e.getMessage.contains("re-bootstrap"))
+  }
+
   test("defaults to current snapshot; key-column mismatch rejected") {
     val t = newTable()
     t.append(rows(0, 10), "c0", 0L)
