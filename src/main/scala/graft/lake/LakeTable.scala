@@ -534,7 +534,14 @@ class LakeTable(val spark: SparkSession, val root: String) {
     * differing only in a new column's non-null value reports as an
     * update. */
   def changes(fromVersion: Int, toVersion: Option[Int] = None): DataFrame = {
-    val from = snapshot(fromVersion)
+    val from =
+      try snapshot(fromVersion)
+      catch {
+        case _: java.io.FileNotFoundException => sys.error(
+          s"changes: version $fromVersion is expired or unknown at $root " +
+            s"(retained: ${listVersions.mkString("[", ",", "]")}); a stale " +
+            "consumer/stream must re-bootstrap, or raise expireSnapshots retention")
+      }
     val to = toVersion.map(snapshot).orElse(currentSnapshot)
       .getOrElse(sys.error(s"no table at $root"))
     require(from.version <= to.version,
