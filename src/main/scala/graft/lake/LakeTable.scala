@@ -517,17 +517,26 @@ class LakeTable(val spark: SparkSession, val root: String) {
     * image, delete rows the `from`-side image (so a consumer can key
     * its own downstream merge off either direction).
     *
-    * Scale shape: the manifest file-diff bounds the scan to buckets
-    * TOUCHED by the intervening commits — an untouched bucket's file
-    * set is byte-identical in both snapshots, so it cannot contain a
-    * change and is never read. At 10^10 rows a commit touches O(batch)
-    * buckets; the diff reads those buckets in both versions and
-    * full-outer-joins them on the key (both sides arrive
-    * hash-partitioned by key when MoR reconstruction ran, so the join
-    * reuses that partitioning). Falls back to a full two-sided diff
-    * when bucket routing changed in between (`rebucket`), where the
-    * file-diff is vacuously "everything". Buckets rewritten with
-    * identical rows (compaction) are scanned and emit nothing.
+    * Scale shape, three tiers (cheapest applicable wins):
+    *  1. DELTA-KEY fast path — when every commit in the interval is a
+    *     mergeDeltas/append (its changed keys live in its own new
+    *     files) or a key-preserving maintenance op (compact/cluster/
+    *     evolve/stats), the changed-key set is bounded by the keys IN
+    *     the interval's new files. Both diff sides are then restricted
+    *     to those keys (a semi join pushed BELOW the merge-on-read
+    *     reconstruction aggregate), so the scan and the fold are
+    *     O(interval batch), not O(touched buckets) — the hot streaming
+    *     case where a commit writes a few thousand keys into buckets
+    *     holding millions. A layout/meta-only interval short-circuits
+    *     to an empty feed with no scan at all.
+    *  2. TOUCHED-BUCKET diff — the manifest file-diff bounds the scan
+    *     to buckets whose file set changed (COW merge rewrites whole
+    *     buckets, so its keys are not attributable to new files); an
+    *     untouched bucket is byte-identical in both snapshots and is
+    *     never read. The diff reads those buckets in both versions and
+    *     full-outer-joins them on the key.
+    *  3. FULL diff — bucket routing changed in between (`rebucket`),
+    *     where the file-diff is vacuously "everything".
     *
     * Schema evolution between the snapshots is aligned to the `to`
     * schema: columns missing on the `from` side read as null, so a row
@@ -550,16 +559,47 @@ class LakeTable(val spark: SparkSession, val root: String) {
       s"changes: key columns differ (${from.keyColumns} vs ${to.keyColumns})")
     val keyCols = to.keyColumns
     val payloadCols = to.schema.fieldNames.filterNot(keyCols.contains).toSeq
+    val fastFiles =
+      if (from.nBuckets != to.nBuckets) None else intervalChangeFiles(from, to)
+    if (fastFiles.exists(_.isEmpty)) {
+      // layout/meta-only interval (compaction, clustering, evolution,
+      // stats changes): no key can differ — empty feed, zero data read
+      System.err.println(s"[lake-cdf] v${from.version}->v${to.version} " +
+        "layout/meta-only; empty feed")
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(
+          keyCols.map(n => to.schema(to.schema.fieldIndex(n))) ++
+            payloadCols.map(n => to.schema(to.schema.fieldIndex(n))) :+
+            StructField("_change_type", StringType, nullable = true)))
+    }
     val (oldDf, newDf) =
       if (from.nBuckets != to.nBuckets) (snapBucketsRead(from, None), snapBucketsRead(to, None))
-      else {
-        val fromPaths = from.files.map(_.path).toSet
-        val toPaths = to.files.map(_.path).toSet
-        val touched = (to.files.filterNot(f => fromPaths(f.path)) ++
-          from.files.filterNot(f => toPaths(f.path))).map(_.bucket).toSet
-        System.err.println(s"[lake-cdf] buckets=${touched.size}/${to.nBuckets} " +
-          s"v${from.version}->v${to.version}")
-        (snapBucketsRead(from, Some(touched)), snapBucketsRead(to, Some(touched)))
+      else fastFiles match {
+        case Some(candFiles) =>
+          // delta-key fast path: only keys present in the interval's own
+          // new files can have changed; restrict BOTH sides to them
+          // (semi join pushed below MoR reconstruction), and only their
+          // buckets. Keys are read from just the key columns of the new
+          // files — O(interval batch) bytes.
+          val buckets = candFiles.map(_.bucket).toSet
+          val keySchema = StructType(
+            keyCols.map(n => to.schema(to.schema.fieldIndex(n))))
+          val keyDf = spark.read.schema(keySchema)
+            .parquet(candFiles.map(f => s"$root/${f.path}"): _*)
+          System.err.println(s"[lake-cdf] delta-key fast path " +
+            s"v${from.version}->v${to.version}: files=${candFiles.size} " +
+            s"buckets=${buckets.size}/${to.nBuckets}")
+          (snapBucketsRead(from, Some(buckets), Some(keyDf)),
+            snapBucketsRead(to, Some(buckets), Some(keyDf)))
+        case None =>
+          val fromPaths = from.files.map(_.path).toSet
+          val toPaths = to.files.map(_.path).toSet
+          val touched = (to.files.filterNot(f => fromPaths(f.path)) ++
+            from.files.filterNot(f => toPaths(f.path))).map(_.bucket).toSet
+          System.err.println(s"[lake-cdf] buckets=${touched.size}/${to.nBuckets} " +
+            s"v${from.version}->v${to.version}")
+          (snapBucketsRead(from, Some(touched)), snapBucketsRead(to, Some(touched)))
       }
     // old side aligned to the to-schema (evolution: absent columns = null)
     val oldAligned = payloadCols.foldLeft(oldDf) { (d, c) =>
@@ -647,15 +687,52 @@ class LakeTable(val spark: SparkSession, val root: String) {
     new Path(new Path(metaDir, "consumers"), s"$consumerId.json")
   }
 
+  /** Files that can contain keys changed in `(from, to]`, or None when
+    * some commit in the interval changes state NOT attributable to its
+    * own new files (COW `merge` rewrites whole buckets, `rebucket` /
+    * `rollback` rewrite arbitrarily, legacy/unknown lineage), or an
+    * intermediate version is already expired. `Some(Nil)` = the
+    * interval is provably key-preserving (maintenance/meta commits
+    * only). mergeDeltas commits contribute their delta files; appends
+    * their base files — in both, every changed key is a row of the
+    * commit's own files, so the union over the interval is a sound
+    * (and tight) changed-key superset. */
+  private[graft] def intervalChangeFiles(from: Snapshot, to: Snapshot): Option[Seq[DataFile]] = {
+    val keyPreserving = Set(
+      "compact", "cluster", "setStatsColumns", "setBloomColumns", "evolveSchema")
+    val buf = Seq.newBuilder[DataFile]
+    var v = from.version + 1
+    while (v <= to.version) {
+      val s =
+        try snapshot(v)
+        catch { case scala.util.control.NonFatal(_) => return None }
+      val op = s.lineage.flatMap(n => Option(n.get("operation")).map(_.asText()))
+        .getOrElse("")
+      if (op == "mergeDeltas" || op == "append") buf ++= s.files.filter(_.seq == v)
+      else if (!keyPreserving(op)) return None
+      v += 1
+    }
+    Some(buf.result())
+  }
+
   /** read() restricted to a bucket subset of a given snapshot (None =
-    * all buckets); MoR buckets reconstruct, pure-base buckets scan. */
-  private def snapBucketsRead(snap: Snapshot, buckets: Option[Set[Int]]): DataFrame = {
+    * all buckets); MoR buckets reconstruct, pure-base buckets scan.
+    * `keyFilter` (key-column frame) semi-join-restricts the rows — the
+    * restriction is applied BELOW the MoR reconstruction aggregate
+    * (sound: the fold groups by key, so dropping other keys' input
+    * rows drops exactly their groups), which keeps the fold O(filter)
+    * instead of O(bucket). */
+  private def snapBucketsRead(snap: Snapshot, buckets: Option[Set[Int]],
+      keyFilter: Option[DataFrame] = None): DataFrame = {
     val fs = buckets.map(b => snap.files.filter(f => b.contains(f.bucket)))
       .getOrElse(snap.files)
+    def restrict(df: DataFrame): DataFrame =
+      keyFilter.map(k => df.join(k, snap.keyColumns, "left_semi")).getOrElse(df)
     val deltaBuckets = fs.filter(_.delta).map(_.bucket).toSet
-    if (deltaBuckets.isEmpty) return readFiles(snap, fs)
+    if (deltaBuckets.isEmpty) return restrict(readFiles(snap, fs))
     val (morFiles, pureBase) = fs.partition(f => deltaBuckets.contains(f.bucket))
-    readFiles(snap, pureBase).unionByName(reconstructRows(snap, morFiles))
+    restrict(readFiles(snap, pureBase))
+      .unionByName(reconstructRows(snap, morFiles, keyFilter = keyFilter))
   }
 
   /** Bucket-pruned point lookup: read only the buckets that can hold
@@ -787,7 +864,8 @@ class LakeTable(val spark: SparkSession, val root: String) {
     * combine-side; the per-key buffer is bounded by the compaction
     * threshold. */
   private def reconstructRows(snap: Snapshot, files: Seq[DataFile],
-      payloadSubset: Option[Seq[String]] = None): DataFrame = {
+      payloadSubset: Option[Seq[String]] = None,
+      keyFilter: Option[DataFrame] = None): DataFrame = {
     val keyCols = snap.keyColumns
     val payloadCols = payloadSubset.getOrElse(
       snap.schema.fieldNames.filterNot(keyCols.contains).toSeq)
@@ -812,7 +890,10 @@ class LakeTable(val spark: SparkSession, val root: String) {
               .withColumn("_patch_mask", lit(null).cast(maskType))
         base.withColumn("_seq", lit(seq.toLong))
     }
-    val all = parts.reduce(_ unionByName _)
+    val all0 = parts.reduce(_ unionByName _)
+    // key restriction below the fold: sound because the fold groups by
+    // key — dropping other keys' input rows drops exactly their groups
+    val all = keyFilter.map(k => all0.join(k, keyCols, "left_semi")).getOrElse(all0)
     if (!anyPatch) {
       all.groupBy(keyCols.map(col): _*)
         .agg(graft.functions.LastByOffset.lastByOffset(

@@ -92,6 +92,84 @@ class LakeCdfSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(t.changes(v2, Some(v3)).count() == 0)
   }
 
+  test("delta-key fast path: eligibility, layout-only short-circuit, parity") {
+    val t = newTable()
+    t.append(rows(0, 200), "c0", 0L)
+    val v1 = t.currentVersion.get
+    t.mergeDeltas(deltas(rows(0, 3, "x"), "u")
+      .unionByName(deltas(rows(200, 205), "c"))
+      .unionByName(deltas(rows(190, 195), "d")), "c1", 1L)
+    t.mergeDeltas(deltas(rows(3, 6, "y"), "u"), "c2", 2L)
+    val v2 = t.currentVersion.get
+    // pure-mergeDeltas interval is eligible: candidate files are exactly
+    // the two commits' delta files
+    val cand = t.intervalChangeFiles(t.snapshot(v1), t.snapshot(v2))
+    assert(cand.isDefined && cand.get.nonEmpty)
+    assert(cand.get.forall(_.delta))
+    val m = byType(t.changes(v1, Some(v2)))
+    assert(m("update").map(_.getLong(0)).sorted == (0L until 6L))
+    assert(m("insert").map(_.getLong(0)).sorted == (200L until 205L))
+    assert(m("delete").map(_.getLong(0)).sorted == (190L until 195L))
+    assert(m("delete").forall(_.getAs[String]("name").startsWith("a-")))
+
+    // mergeDeltas + auto-compaction in the interval: the compact commit
+    // is key-preserving; the delta files stay reachable via the
+    // intermediate snapshot's manifest, so the path stays eligible
+    t.mergeDeltas(deltas(rows(6, 8, "z"), "u"), "c3", 3L, autoCompact = 1)
+    val v3 = t.currentVersion.get
+    assert(t.snapshot(v3).lineage.exists(_.get("operation").asText() == "compact"))
+    assert(t.intervalChangeFiles(t.snapshot(v2), t.snapshot(v3)).exists(_.nonEmpty))
+    assert(byType(t.changes(v2, Some(v3)))("update").map(_.getLong(0)).sorted
+      == Seq(6L, 7L))
+
+    // layout-only interval: empty feed, zero files read
+    t.compact()
+    val v4 = t.currentVersion.get
+    val quiet = t.changes(v3, Some(v4))
+    assert(quiet.count() == 0)
+    assert(quiet.inputFiles.isEmpty, "layout-only interval must not scan data")
+    assert(quiet.columns.toSeq == Seq("id", "name", "v", "_change_type"))
+
+    // a COW merge in the interval rewrites whole buckets -> ineligible
+    // (falls back to the touched-bucket diff, same answer)
+    t.merge(deltas(rows(10, 12, "w"), "u"), "c4", 4L)
+    val v5 = t.currentVersion.get
+    assert(t.intervalChangeFiles(t.snapshot(v4), t.snapshot(v5)).isEmpty)
+    assert(byType(t.changes(v4, Some(v5)))("update").map(_.getLong(0)).sorted
+      == Seq(10L, 11L))
+
+    // append in the interval: its base files carry the new keys -> eligible
+    t.append(rows(300, 310), "c5", 5L)
+    val v6 = t.currentVersion.get
+    assert(t.intervalChangeFiles(t.snapshot(v5), t.snapshot(v6)).exists(_.nonEmpty))
+    assert(byType(t.changes(v5, Some(v6)))("insert").map(_.getLong(0)).sorted
+      == (300L until 310L))
+  }
+
+  test("fast path restricts the fold to interval keys (patch deltas included)") {
+    val t = newTable()
+    t.append(rows(0, 100), "c0", 0L)
+    t.mergeDeltas(deltas(rows(0, 50, "m"), "u"), "c1", 1L)
+    val v2 = t.currentVersion.get
+    // patch delta (partial update) on 2 keys: fast path must fold
+    // patches on top of prior state for exactly those keys
+    val patch = rows(5, 7, "p").select(col("id"),
+        col("name"), lit(null).cast("long").as("v"))
+      .withColumn("operation", lit("u"))
+      .withColumn("offset", col("id"))
+      .withColumn("_patch_mask", array(lit("name")))
+    t.mergeDeltas(patch, "c2", 2L)
+    val v3 = t.currentVersion.get
+    assert(t.intervalChangeFiles(t.snapshot(v2), t.snapshot(v3)).exists(_.nonEmpty))
+    val m = byType(t.changes(v2, Some(v3)))
+    assert(m.keySet == Set("update"))
+    assert(m("update").map(_.getLong(0)).sorted == Seq(5L, 6L))
+    // patched name, UNTOUCHED v folded from the prior delta's image
+    assert(m("update").forall(_.getAs[String]("name").startsWith("p-")))
+    assert(m("update").map(r => (r.getLong(0), r.getLong(2))).toMap
+      == Map(5L -> 50L, 6L -> 60L))
+  }
+
   test("rebucket falls back to full diff; evolution aligns to to-schema") {
     val t = newTable(nBuckets = 4)
     t.append(rows(0, 50), "c0", 0L)
