@@ -686,6 +686,33 @@ object SparkEntry {
               |FROM lake_sql_gate WHERE value >= 100.0
               |GROUP BY event_type""".stripMargin)
     }),
+    "cdc_lake_sql_rt" -> ((s, dir) => {
+      // REAL-TIME SQL view over an uncompacted merge-on-read snapshot:
+      // the graft-lake relation detects outstanding deltas and plans
+      // the reconstruction fold (LakeMorRelation: PrunedFilteredScan →
+      // readWhere) instead of a file scan — pushed columns and the
+      // value-range predicate reach BELOW the fold, so only the
+      // requested columns of stats-surviving files are read. The
+      // oracle recomputes the post-delta state by formula.
+      val ev = t(s, dir, "events").filter(col("event_id") % 9 === 0)
+        .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+      val tmp = graft.Scratch.dir("lake-sql-rt-gate")
+      val table = new graft.lake.LakeTable(s, tmp)
+      table.create(ev.schema, Seq("event_id"), nBuckets = 8,
+        statsColumns = Seq("value"))
+      table.append(ev, "a", 0L)
+      // MoR delta commit: +1000 on the %45 keys, left UNCOMPACTED
+      table.mergeDeltas(ev.filter(col("event_id") % 45 === 0)
+        .withColumn("value", col("value") + lit(1000.0))
+        .withColumn("operation", lit("u"))
+        .withColumn("offset", col("event_id")), "u1", 1L)
+      s.sql(s"CREATE OR REPLACE TEMPORARY VIEW lake_sql_rt " +
+        s"USING `graft-lake` OPTIONS (path '$tmp')")
+      s.sql("""SELECT event_type, count(*) AS n,
+              |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+              |FROM lake_sql_rt WHERE value >= 200.0
+              |GROUP BY event_type""".stripMargin)
+    }),
     "cdc_lake_changes" -> ((s, dir) => {
       // change-data-feed between snapshots: commit 0 ingests the even
       // keys, commit 1 ingests odd-key creates + the %3 updates + %7
@@ -699,6 +726,32 @@ object SparkEntry {
       table.create(customerCdcSchema.structType, customerCdcSchema.keyNames, nBuckets = 16)
       val pipe = new graft.streaming.CdcPipeline(s, customerCdcSchema, table,
         DecodeOptions(strict = false, validate = true), "gate-cdf")
+      pipe.processBatch(base.filter(col("offset") % 2 === 0), 0L)
+      val v1 = table.currentVersion.get
+      pipe.processBatch(
+        base.filter(col("offset") % 2 === 1).unionByName(upd).unionByName(del), 1L)
+      val v2 = table.currentVersion.get
+      table.changes(v1, Some(v2)).select(
+        "c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment",
+        "_offset", "_change_type")
+    }),
+    "cdc_lake_changes_fast" -> ((s, dir) => {
+      // the SAME feed workload as cdc_lake_changes, committed
+      // MERGE-ON-READ: the interval is a single mergeDeltas commit, so
+      // changes() takes the delta-key fast path — both diff sides are
+      // restricted to the keys in commit 1's own delta files (a semi
+      // join pushed below the MoR reconstruction fold) instead of
+      // scanning whole touched buckets (the "[lake-cdf] delta-key fast
+      // path" stderr line). At 10^10 rows this is the difference
+      // between O(batch) and O(touched buckets) per feed read. Same
+      // expected rows, same oracle.
+      val (base, upd, del) = customerEnvelopes(s, dir)
+      val tmp = graft.Scratch.dir("lake-cdf-fast-gate")
+      val table = new graft.lake.LakeTable(s, tmp)
+      table.create(customerCdcSchema.structType, customerCdcSchema.keyNames, nBuckets = 16)
+      val pipe = new graft.streaming.CdcPipeline(s, customerCdcSchema, table,
+        DecodeOptions(strict = false, validate = true), "gate-cdf-fast",
+        mergeOnRead = true)
       pipe.processBatch(base.filter(col("offset") % 2 === 0), 0L)
       val v1 = table.currentVersion.get
       pipe.processBatch(
@@ -1149,6 +1202,31 @@ object SparkEntry {
     }),
   )
 
+  // the expected change feed, recomputed from the workload formulas:
+  // commit 0 = even keys; commit 1 = odd creates + %3 updates + %7
+  // deletes with in-batch LWW (an odd %7 key is created and deleted
+  // in the same batch → no row on either side → silent). Shared by
+  // cdc_lake_changes (COW commits → touched-bucket diff) and
+  // cdc_lake_changes_fast (MoR commits → delta-key fast path).
+  private val lakeChangesFeedOracleSql: String =
+    """SELECT c_custkey, c_name || ' rev2' AS c_name, c_nationkey, c_acctbal,
+      |       c_mktsegment, CAST(c_custkey + 10000000 AS BIGINT) AS _offset,
+      |       'update' AS _change_type
+      |FROM customer
+      |WHERE c_custkey % 2 = 0 AND c_custkey % 3 = 0 AND c_custkey % 7 <> 0
+      |UNION ALL
+      |SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment,
+      |       CAST(c_custkey AS BIGINT) AS _offset, 'delete' AS _change_type
+      |FROM customer WHERE c_custkey % 2 = 0 AND c_custkey % 7 = 0
+      |UNION ALL
+      |SELECT c_custkey,
+      |       CASE WHEN c_custkey % 3 = 0 THEN c_name || ' rev2' ELSE c_name END AS c_name,
+      |       c_nationkey, c_acctbal, c_mktsegment,
+      |       CAST(CASE WHEN c_custkey % 3 = 0 THEN c_custkey + 10000000
+      |            ELSE c_custkey END AS BIGINT) AS _offset,
+      |       'insert' AS _change_type
+      |FROM customer WHERE c_custkey % 2 = 1 AND c_custkey % 7 <> 0""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "cdc_lww" ->
       """SELECT user_id, event_id, event_type, value FROM (
@@ -1433,28 +1511,21 @@ object SparkEntry {
         |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
         |FROM events WHERE event_id % 8 = 0 AND value >= 100.0
         |GROUP BY event_type""".stripMargin,
-    "cdc_lake_changes" ->
-      // the expected feed, recomputed from the workload formulas:
-      // commit 0 = even keys; commit 1 = odd creates + %3 updates + %7
-      // deletes with in-batch LWW (an odd %7 key is created and deleted
-      // in the same batch → no row on either side → silent)
-      """SELECT c_custkey, c_name || ' rev2' AS c_name, c_nationkey, c_acctbal,
-        |       c_mktsegment, CAST(c_custkey + 10000000 AS BIGINT) AS _offset,
-        |       'update' AS _change_type
-        |FROM customer
-        |WHERE c_custkey % 2 = 0 AND c_custkey % 3 = 0 AND c_custkey % 7 <> 0
-        |UNION ALL
-        |SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment,
-        |       CAST(c_custkey AS BIGINT) AS _offset, 'delete' AS _change_type
-        |FROM customer WHERE c_custkey % 2 = 0 AND c_custkey % 7 = 0
-        |UNION ALL
-        |SELECT c_custkey,
-        |       CASE WHEN c_custkey % 3 = 0 THEN c_name || ' rev2' ELSE c_name END AS c_name,
-        |       c_nationkey, c_acctbal, c_mktsegment,
-        |       CAST(CASE WHEN c_custkey % 3 = 0 THEN c_custkey + 10000000
-        |            ELSE c_custkey END AS BIGINT) AS _offset,
-        |       'insert' AS _change_type
-        |FROM customer WHERE c_custkey % 2 = 1 AND c_custkey % 7 <> 0""".stripMargin,
+    "cdc_lake_changes" -> lakeChangesFeedOracleSql,
+    // identical workload and feed; the Spark side differs only in the
+    // commit strategy (merge-on-read) and therefore the changes() plan
+    // (delta-key fast path instead of the touched-bucket diff)
+    "cdc_lake_changes_fast" -> lakeChangesFeedOracleSql,
+    "cdc_lake_sql_rt" ->
+      // post-delta state by formula: the %45 keys' value is bumped by
+      // 1000 (IEEE double addition is bit-identical on both engines)
+      """SELECT event_type, count(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |FROM (SELECT event_type,
+        |        CASE WHEN event_id % 45 = 0 THEN value + 1000.0 ELSE value END AS value
+        |      FROM events WHERE event_id % 9 = 0) src
+        |WHERE value >= 200.0
+        |GROUP BY event_type""".stripMargin,
     "cdc_mixed_topic" ->
       // one topic, three connectors routed per message; batch 1 updates:
       // mysql ' rev2' (k%6==0, declared-cased wire names), postgres

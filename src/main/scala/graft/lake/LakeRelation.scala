@@ -11,7 +11,10 @@ import org.apache.spark.sql.execution.streaming.{Offset => V1Offset, Sink, Sourc
 import org.apache.spark.sql.execution.streaming.runtime.{LongOffset, SerializedOffset}
 import org.apache.spark.sql.functions.{col, lit}
 import org.apache.spark.sql.graftshim
-import org.apache.spark.sql.sources.{BaseRelation, DataSourceRegister, RelationProvider, StreamSinkProvider, StreamSourceProvider}
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{Column, Row}
+import org.apache.spark.sql.sources
+import org.apache.spark.sql.sources.{BaseRelation, DataSourceRegister, Filter, PrunedFilteredScan, RelationProvider, StreamSinkProvider, StreamSourceProvider}
 import org.apache.spark.sql.streaming.OutputMode
 import org.apache.spark.sql.types.{StringType, StructField, StructType}
 
@@ -41,13 +44,21 @@ import graft.streaming.CdcPipeline
   * directory listing, and a time-windowed query plans only the files
   * whose range overlaps.
   *
-  * The relation serves the READ-OPTIMIZED layout (every bucket
-  * compacted): merge-on-read reconstruction is a shuffle+aggregate
-  * plan, which a file scan cannot express, so a snapshot with
-  * outstanding deltas is rejected with the remediation
-  * (`compact()` — or `LakeTable.read`, which plans the
-  * reconstruction). This mirrors Hive/Hudi's read-optimized vs
-  * real-time view split.
+  * Two views, mirroring Hive/Hudi's read-optimized vs real-time
+  * split, selected per snapshot (option `view`, default `auto`):
+  *  - READ-OPTIMIZED (every bucket compacted): the HadoopFsRelation
+  *    path above — vectorized reader, codegen, parquet pushdown.
+  *  - REAL-TIME (outstanding merge-on-read deltas): reconstruction is
+  *    a shuffle+aggregate plan a file scan cannot express, so the
+  *    relation falls back to [[LakeMorRelation]] — a
+  *    PrunedFilteredScan that plans `LakeTable.readWhere` /
+  *    `readColumns`, keeping manifest stats pruning and column
+  *    pruning PAST the fold (the scan reads only the requested +
+  *    predicate columns), at the cost of a non-codegen Row boundary
+  *    at the relation edge.
+  * `view=readOptimized` restores the strict behavior (delta-carrying
+  * snapshots rejected with the compact() remediation);
+  * `view=realtime` forces the fold path even when compacted.
   */
 class LakeDataSource extends RelationProvider with StreamSourceProvider
     with StreamSinkProvider with DataSourceRegister {
@@ -67,14 +78,33 @@ class LakeDataSource extends RelationProvider with StreamSourceProvider
     val spark = ctx.sparkSession
     val table = tableFor(ctx, parameters)
     val version = opt(parameters, "versionAsOf").map(_.toInt)
-    val index = new LakeFileIndex(spark, table, version)
-    HadoopFsRelation(
-      location = index,
-      partitionSchema = StructType(Nil),
-      dataSchema = index.schema,
-      bucketSpec = None,
-      fileFormat = new ParquetFileFormat,
-      options = Map.empty)(spark)
+    val snap = version.map(table.snapshot).orElse(table.currentSnapshot)
+      .getOrElse(sys.error(s"graft-lake: no table at ${table.root}"))
+    val hasDeltas = snap.files.exists(_.delta)
+    def fileRelation = {
+      val index = new LakeFileIndex(spark, table, version)
+      HadoopFsRelation(
+        location = index,
+        partitionSchema = StructType(Nil),
+        dataSchema = index.schema,
+        bucketSpec = None,
+        fileFormat = new ParquetFileFormat,
+        options = Map.empty)(spark)
+    }
+    opt(parameters, "view").getOrElse("auto") match {
+      case "auto" =>
+        if (hasDeltas) new LakeMorRelation(ctx, table, snap.version) else fileRelation
+      case "readOptimized" =>
+        require(!hasDeltas,
+          s"graft-lake: v${snap.version} at ${table.root} has outstanding " +
+            "merge-on-read deltas; view=readOptimized serves only the " +
+            "compacted layout — run LakeTable.compact() first, or drop the " +
+            "option for the real-time view")
+        fileRelation
+      case "realtime" => new LakeMorRelation(ctx, table, snap.version)
+      case other => sys.error(
+        s"graft-lake: unknown view '$other' (auto | readOptimized | realtime)")
+    }
   }
 
   // ------------------------------------------------------ streaming CDF
@@ -205,6 +235,76 @@ object LakeChangeSource {
       keyCols.map(n => snap.schema(snap.schema.fieldIndex(n))) ++
         payload :+ StructField("_change_type", StringType, nullable = true))
   }
+}
+
+/** REAL-TIME view of a merge-on-read snapshot: a V1
+  * [[PrunedFilteredScan]] whose buildScan plans the lake's own
+  * reconstruction read. The scan's pushed columns and filters reach
+  * BELOW the fold — `readColumns`/`readWhere` scan only the requested
+  * + predicate + key columns and StatsPruner-skip files/buckets the
+  * predicate cannot match — so SQL over an uncompacted table pays the
+  * fold only for the data it actually touches. All filters are
+  * re-applied by Spark above the relation (default unhandledFilters),
+  * so partial predicate translation is sound. */
+class LakeMorRelation(ctx: SQLContext, table: LakeTable, snapVersion: Int)
+    extends BaseRelation with PrunedFilteredScan {
+
+  private val snap = table.snapshot(snapVersion)
+
+  override def sqlContext: SQLContext = ctx
+
+  override def schema: StructType = snap.schema
+
+  override def buildScan(requiredColumns: Array[String],
+      filters: Array[Filter]): RDD[Row] = {
+    // a filter that fails to translate (exotic literal type, unknown
+    // shape) is just not pushed — Spark re-applies it above
+    val pred = filters.toSeq.flatMap(f =>
+      try toColumn(f)
+      catch { case scala.util.control.NonFatal(_) => None }).reduceOption(_ && _)
+    // zero-column scans (count(*)) still need the fold to run: read the
+    // first key column, emit empty rows
+    val cols =
+      if (requiredColumns.nonEmpty) requiredColumns.toSeq
+      else snap.keyColumns.take(1)
+    val df = pred match {
+      case Some(p) => table.readWhere(p, Some(snapVersion), Some(cols))
+      case None => table.readColumns(cols, Some(snapVersion))
+    }
+    if (requiredColumns.nonEmpty) df.rdd else df.rdd.map(_ => Row.empty)
+  }
+
+  /** Strict source-filter → Column translation: None when any node of
+    * the tree has no exact equivalent (the whole filter is then simply
+    * not pushed — Spark re-evaluates it above). Strictness keeps `Not`
+    * sound: negating a RELAXED child would drop matching rows. Dotted
+    * column names are skipped (`col` would parse them as nested). */
+  private def toColumn(f: Filter): Option[Column] = {
+    def c(name: String): Option[Column] =
+      if (name.contains(".")) None else Some(col(name))
+    f match {
+      case sources.EqualTo(a, v) => c(a).map(_ === lit(v))
+      case sources.EqualNullSafe(a, v) => c(a).map(_ <=> lit(v))
+      case sources.GreaterThan(a, v) => c(a).map(_ > lit(v))
+      case sources.GreaterThanOrEqual(a, v) => c(a).map(_ >= lit(v))
+      case sources.LessThan(a, v) => c(a).map(_ < lit(v))
+      case sources.LessThanOrEqual(a, v) => c(a).map(_ <= lit(v))
+      case sources.In(a, vs) => c(a).map(_.isin(vs.toSeq: _*))
+      case sources.IsNull(a) => c(a).map(_.isNull)
+      case sources.IsNotNull(a) => c(a).map(_.isNotNull)
+      case sources.StringStartsWith(a, p) => c(a).map(_.startsWith(p))
+      case sources.StringEndsWith(a, p) => c(a).map(_.endsWith(p))
+      case sources.StringContains(a, p) => c(a).map(_.contains(p))
+      case sources.And(l, r) =>
+        for { a <- toColumn(l); b <- toColumn(r) } yield a && b
+      case sources.Or(l, r) =>
+        for { a <- toColumn(l); b <- toColumn(r) } yield a || b
+      case sources.Not(inner) => toColumn(inner).map(!_)
+      case _ => None
+    }
+  }
+
+  override def toString: String = s"LakeMorRelation[${table.root} v$snapVersion]"
 }
 
 /** Manifest-backed [[FileIndex]]: lists a committed snapshot's data

@@ -93,20 +93,47 @@ class LakeSqlSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(r.getLong(1) == (0 until 10).map(_ * 7).sum)
   }
 
-  test("outstanding merge-on-read deltas are rejected with remediation") {
+  test("merge-on-read deltas: real-time view by default, readOptimized rejects") {
     val t = newTable()
     t.append(rows(0, 100), "c0", 0L)
-    t.mergeDeltas(rows(0, 5).withColumn("operation", lit("u"))
+    t.mergeDeltas(rows(0, 5).select(col("id"), (col("id") * 100).as("v"))
+      .withColumn("operation", lit("u"))
       .withColumn("offset", col("id")), "c1", 1L)
+    // default (auto): the relation folds the deltas — real-time view
+    val df = spark.read.format("graft-lake").load(t.root)
+    assert(df.count() == 100)
+    assert(df.filter(col("id") === 3L).head.getLong(1) == 300L,
+      "real-time view must serve the folded (post-delta) image")
+    // filter + projection push below the fold (correctness check; the
+    // pruning itself is LakeDataSkipSpec territory)
+    assert(df.filter(col("id") < 5).select("v").collect()
+      .map(_.getLong(0)).sorted.toSeq == Seq(0L, 100L, 200L, 300L, 400L))
+    // zero-column scan (count) through the fold; only the folded images
+    // (id 1-4 -> v=100,200,300,400) are positive multiples of 100
+    assert(df.filter(col("v") % 100 === 0 && col("v") > 0).count() == 4)
+    // SQL over the real-time view
+    spark.sql(s"""CREATE OR REPLACE TEMPORARY VIEW lake_sql_mor
+      USING `graft-lake` OPTIONS (path '${t.root}')""")
+    assert(spark.sql("SELECT sum(v) AS s FROM lake_sql_mor WHERE id < 5").head.getLong(0)
+      == 1000L)
+    // view=readOptimized restores the strict rejection
     val e = intercept[Exception] {
-      spark.read.format("graft-lake").load(t.root).count()
+      spark.read.format("graft-lake")
+        .option("view", "readOptimized").load(t.root).count()
     }
-    assert(e.getMessage.contains("read-optimized") ||
-      Option(e.getCause).exists(_.getMessage.contains("read-optimized")))
-    // after compaction the relation serves the merged state
+    assert(e.getMessage.contains("compact") ||
+      Option(e.getCause).exists(_.getMessage.contains("compact")))
+    // after compaction the default is the vectorized file relation again
     t.compact()
     val folded = spark.read.format("graft-lake").load(t.root)
     assert(folded.count() == 100)
+    folded.collect()
+    assert(scans(folded.queryExecution.executedPlan).nonEmpty,
+      "compacted table must plan as a parquet file scan")
+    // ...and view=realtime still forces the fold path (same answer)
+    val rt = spark.read.format("graft-lake").option("view", "realtime").load(t.root)
+    assert(rt.agg(sum("v")).head.getLong(0) == folded.agg(sum("v")).head.getLong(0))
+    assert(scans(rt.queryExecution.executedPlan).isEmpty)
   }
 
   test("schema evolution: old files read through the new schema") {
