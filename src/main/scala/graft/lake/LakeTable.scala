@@ -1017,7 +1017,17 @@ class LakeTable(val spark: SparkSession, val root: String) {
         base.option("parquet.bloom.filter.adaptive.enabled", "true")) {
         (b, c) => b.option(s"parquet.bloom.filter.enabled#$c", "true")
       }
-    w.partitionBy("_bucket").parquet(dir.toString)
+    // write timestamps as standard INT64 micros, not Spark's default
+    // INT96: INT96 chunks carry no usable footer min/max, so a
+    // timestamp statsColumn would never prune (and micros match the
+    // canonical Long form StatsPruner compares TimestampType literals
+    // in). Session-conf scoped to the write — parquet exposes no
+    // per-write option for this.
+    val key = "spark.sql.parquet.outputTimestampType"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, "TIMESTAMP_MICROS")
+    try w.partitionBy("_bucket").parquet(dir.toString)
+    finally spark.conf.set(key, prev)
   }
 
   /** Bulk append (initial seed): bucket + write + commit. */

@@ -258,6 +258,38 @@ class LakeDataSkipSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(got == (0L until 512L by 37L).toSet)
   }
 
+  test("TIMESTAMP statsColumns prune range predicates (INT64-micros writes)") {
+    // lake writes emit TIMESTAMP_MICROS (not Spark's INT96 default,
+    // which carries no usable footer min/max), so a real timestamp
+    // column is a first-class skip column — no epoch-long shadow
+    // column needed
+    val tsSchema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("at", TimestampType, nullable = true)))
+    val tmp = java.nio.file.Files.createTempDirectory("lake-skip-ts").toString
+    val t = new LakeTable(spark, tmp)
+    t.create(tsSchema, Seq("id"), nBuckets = 2, statsColumns = Seq("at"))
+    def batch(lo: Long, hi: Long): DataFrame =
+      spark.range(lo, hi).select(col("id"),
+        timestamp_micros(lit(1700000000000000L) + col("id") * 1000000L).as("at"))
+    // time-windowed commits, like a CDC stream
+    t.append(batch(0, 1000), "a", 0L)
+    t.append(batch(1000, 2000), "a", 1L)
+    t.append(batch(2000, 3000), "a", 2L)
+    val files = t.currentSnapshot.get.files
+    assert(files.forall(_.stats.contains("at")),
+      "timestamp footer stats must be harvested (INT96 would have none)")
+    val cut = java.sql.Timestamp.from(
+      java.time.Instant.ofEpochSecond(1700000000L + 2100))
+    val pred = col("at") >= lit(cut)
+    val (k, total) = kept(t, pred)
+    assert(k < total, s"timestamp range predicate kept $k/$total files")
+    // and the answer matches the unpruned filter
+    assert(t.readWhere(pred).count() ==
+      t.read().filter(pred).count())
+    assert(t.readWhere(pred).count() == 900)
+  }
+
   test("pruner leaf coverage: IN, STARTSWITH, flipped operands, OR") {
     val stMap = Map[String, (Any, Any)](
       "x" -> ((100L, 200L)), "s" -> (("apple", "banana")))
