@@ -29,6 +29,19 @@ object CdcBench {
   case class RunResult(cores: Int, events: Long, wallSec: Double,
       eventsPerSec: Double, finalRows: Long)
 
+  /** Hot-conversation skew knob: "hotKeyEvery,hotFactor". The default
+    * (1000,50) is the realistic mild-Zipf corpus every published number
+    * uses; "1000,5000" concentrates ~83% of all events in 0.1% of keys —
+    * the worst-case hot-conversation shape the north rule names. The
+    * apply path absorbs it structurally (LastByOffset partially
+    * aggregates map-side, so a hot key contributes ONE row per input
+    * partition to the shuffle; AQE splits oversized post-shuffle
+    * partitions) — the A/B evidence lives in BENCH.md. */
+  def hotKnob: (Int, Int) = {
+    val s = sys.env.getOrElse("SPARK_GRAFT_BENCH_HOT", "1000,50").split(",")
+    (s(0).trim.toInt, s(1).trim.toInt)
+  }
+
   def run(cores: Int, rawPath: String, nEventsIgnored: Long, strict: Boolean,
       nBatches: Int, nBuckets: Int): RunResult = {
     val targetEvents = sys.env.getOrElse("SPARK_GRAFT_BENCH_EVENTS", "2000000").toLong
@@ -107,10 +120,13 @@ object CdcBench {
       }
       if (mor && mode == "e2e") table.compact()
       val wall = (System.nanoTime() - t0) / 1e9
+      val (hotEvery, hotFactor) = hotKnob
       val finalRows =
         if (mode == "e2e") table.read().count()
-        else BenchGen.expectedFinalKeys(spark, targetEvents)
-      val expectKeys = BenchGen.expectedFinalKeys(spark, targetEvents)
+        else BenchGen.expectedFinalKeys(spark, targetEvents,
+          hotKeyEvery = hotEvery, hotFactor = hotFactor)
+      val expectKeys = BenchGen.expectedFinalKeys(spark, targetEvents,
+        hotKeyEvery = hotEvery, hotFactor = hotFactor)
       System.err.println(f"[cdc-bench] mode=$mode cores=$cores events=$nEvents wall=$wall%.1f eps=${(nEvents / wall).toLong} finalRows=$finalRows (expect $expectKeys)")
       require(finalRows == expectKeys,
         s"parity failure at cores=$cores: $finalRows != $expectKeys")
@@ -138,7 +154,9 @@ object CdcBench {
         .config("spark.sql.shuffle.partitions", "32")
         .config("spark.ui.enabled", "false").getOrCreate()
       genSpark.sparkContext.setLogLevel("WARN")
-      val df = BenchGen.envelopes(genSpark, nEvents)
+      val (hotEvery, hotFactor) = hotKnob
+      val df = BenchGen.envelopes(genSpark, nEvents,
+        hotKeyEvery = hotEvery, hotFactor = hotFactor)
       val maxOff = df.agg(max(col("offset"))).head().getLong(0)
       val step = maxOff / nBatches + 1
       df.withColumn("batch", (col("offset") / step).cast("int"))

@@ -611,6 +611,28 @@ object SparkEntry {
       table.readWhere(col("value") >= 100.0)
         .select("event_id", "user_id", "event_type", "value")
     }),
+    "cdc_lake_delete" -> ((s, dir) => {
+      // predicate-scoped DELETE + UPDATE maintenance commits (the purge /
+      // redaction shapes): deleteWhere drops the matching rows in a
+      // stats-bounded copy-on-write rewrite (delta-free buckets rewrite
+      // at FILE granularity — sibling files carry over by path
+      // identity), updateWhere reassigns columns under the same bound;
+      // the gate reads the final state back through the snapshot. SQL
+      // semantics mirrored in the oracle: NOT(pred) keeps NULL-pred rows.
+      val c = t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
+          col("c_acctbal"), col("c_mktsegment"))
+      val tmp = graft.Scratch.dir("lake-delete-gate")
+      val table = new graft.lake.LakeTable(s, tmp)
+      table.create(c.schema, Seq("c_custkey"), nBuckets = 8,
+        statsColumns = Seq("c_acctbal"))
+      table.append(c, "a", 0L)
+      table.deleteWhere(col("c_acctbal") < 0.0 && col("c_mktsegment") === "BUILDING")
+      table.updateWhere(col("c_mktsegment") === "MACHINERY",
+        Map("c_name" -> lit("redacted")))
+      table.read()
+        .select("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+    }),
     "stream_lake_cdf" -> ((s, dir) => {
       // STREAMING CDF out of the lake as a judged query: a REAL
       // readStream.format("graft-lake") query (table version =
@@ -1488,6 +1510,15 @@ object SparkEntry {
     "cdc_lake_cluster" ->
       """SELECT event_id, user_id, event_type, value
         |FROM events WHERE event_id % 4 = 0 AND value >= 100.0""".stripMargin,
+    "cdc_lake_delete" ->
+      // delete drops its matching rows; update rewrites the segment's
+      // name — NOT(delete-pred) mirrors the engine's keep-NULL semantics
+      """SELECT c_custkey,
+        |  CASE WHEN c_mktsegment = 'MACHINERY' THEN 'redacted'
+        |       ELSE c_name END AS c_name,
+        |  c_nationkey, c_acctbal, c_mktsegment
+        |FROM customer
+        |WHERE NOT (c_acctbal < 0 AND c_mktsegment = 'BUILDING')""".stripMargin,
     "stream_lake_cdf" ->
       // batch 0 = bootstrap inserts of the committed evens; batch 1 =
       // the second commit's feed (deletes carry the pre-commit image)

@@ -20,7 +20,7 @@ import org.apache.spark.sql.types.{ArrayType, ByteType, DataType, DateType,
   *   <root>/metadata/v%05d.json          -- immutable snapshot metadata
   *   <root>/metadata/manifest-<id>.json  -- immutable data-file lists
   *   <root>/metadata/version-hint.text
-  *   <root>/data/commit-<v>/_bucket=<k>/part-*.parquet
+  *   <root>/data/commit-<v>-<id>/_bucket=<k>/part-*.parquet
   * }}}
   *
   * Snapshot metadata is MANIFEST-STYLE (Iceberg's shape): a snapshot
@@ -230,6 +230,7 @@ class LakeTable(val spark: SparkSession, val root: String) {
   }
 
   private def writeSnapshot(s: Snapshot): Unit = {
+    val hook = preCommitHook; preCommitHook = () => (); hook()
     require(s.manifests.forall(_.path.nonEmpty),
       "BUG: committing a snapshot with an unmaterialized legacy manifest")
     val lineage: JsonNode = s.lineage.orNull
@@ -252,7 +253,7 @@ class LakeTable(val spark: SparkSession, val root: String) {
 
     val target = versionFile(s.version)
     if (fs.exists(target)) // fast path; the real race is decided below
-      throw new IllegalStateException(s"concurrent commit: $target already exists")
+      throw new ConcurrentCommitException(s"concurrent commit: $target already exists")
     val tmp = new Path(metaDir, s"v${s.version}.json.tmp-${java.util.UUID.randomUUID()}")
     val out = fs.create(tmp, false)
     try out.write(mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(node))
@@ -281,16 +282,104 @@ class LakeTable(val spark: SparkSession, val root: String) {
       catch {
         case _: java.nio.file.FileAlreadyExistsException =>
           fs.delete(tmp, false)
-          throw new IllegalStateException(s"concurrent commit: $target already exists")
+          throw new ConcurrentCommitException(s"concurrent commit: $target already exists")
       }
       fs.delete(tmp, false)
     } else {
       if (!fs.rename(tmp, target)) {
         fs.delete(tmp, false)
-        throw new IllegalStateException(s"concurrent commit: rename to $target failed")
+        throw new ConcurrentCommitException(s"concurrent commit: rename to $target failed")
       }
     }
   }
+
+  /** Test seam for commit-race injection: fires ONCE immediately before
+    * the next snapshot publish on this instance, then resets (so a
+    * rebase retry doesn't re-fire it). Specs use it to interleave a
+    * competing writer's commit inside this writer's race window. */
+  private[graft] var preCommitHook: () => Unit = () => ()
+
+  /** Validate that a commit built against `base` may be REBASED onto the
+    * new head `cur` without changing its meaning; throws
+    * [[ConcurrentCommitException]] otherwise. `ourBuckets = Some(b)`
+    * marks a copy-on-write commit that REWRITES those buckets — it
+    * conflicts with any interim commit touching them (the interim
+    * writer's files would be silently dropped from the snapshot: the
+    * lost-update anomaly). `None` marks an append-only commit (delta or
+    * base file additions), which serializes AFTER any interim commit by
+    * construction — merge-on-read reconstruction orders by commit seq,
+    * and the rebase re-stamps the new files with the final version. */
+  private def rebaseCheck(base: Snapshot, cur: Snapshot,
+      ourBuckets: Option[Set[Int]]): Unit = {
+    def conflict(msg: String): Nothing = throw new ConcurrentCommitException(
+      s"concurrent commit conflict (base v${base.version} -> head v${cur.version}): $msg")
+    if (cur.schema != base.schema) conflict("schema changed concurrently")
+    if (cur.keyColumns != base.keyColumns) conflict("key columns changed concurrently")
+    if (cur.nBuckets != base.nBuckets) conflict("bucket count changed concurrently")
+    var prev = base
+    var v = base.version + 1
+    while (v <= cur.version) {
+      val s =
+        try snapshot(v)
+        catch { case scala.util.control.NonFatal(_) => conflict(s"cannot read interim v$v") }
+      val op = s.lineage.flatMap(n => Option(n.get("operation")).map(_.asText()))
+        .getOrElse("")
+      if (op == "rebucket" || op == "rollback" || op.isEmpty)
+        conflict(s"interim commit v$v is ${if (op.isEmpty) "of unknown provenance" else op}")
+      ourBuckets.foreach { mine =>
+        val prevPaths = prev.files.map(_.path).toSet
+        val curPaths = s.files.map(_.path).toSet
+        val touched = (s.files.filterNot(f => prevPaths(f.path)) ++
+          prev.files.filterNot(f => curPaths(f.path))).map(_.bucket).toSet
+        val overlap = touched.intersect(mine)
+        if (overlap.nonEmpty) conflict(s"interim commit v$v ($op) touched bucket(s) " +
+          s"${overlap.toSeq.sorted.take(8).mkString(",")} this commit also rewrites")
+      }
+      prev = s
+      v += 1
+    }
+  }
+
+  /** Publish `build(base)` with optimistic-concurrency retry: losing the
+    * version race triggers [[rebaseCheck]] against the new head and, if
+    * sound, an O(metadata) rebase — the already-written data files are
+    * re-stamped with the final commit seq and the snapshot is rebuilt;
+    * no data is rewritten. `replayKey` re-applies the idempotence check
+    * against the head (a racing writer may have committed the SAME
+    * batch — dual drivers — in which case the rebase degenerates to the
+    * no-op replay and this writer's staged files become vacuum-able
+    * orphans). */
+  private def publishOptimistic(base0: Snapshot, build: Snapshot => Snapshot,
+      ourBuckets: Option[Set[Int]], replayKey: Option[(String, Long)]): Snapshot = {
+    var base = base0
+    var attempt = build(base)
+    var tries = 0
+    while (tries <= 10) {
+      try { writeSnapshot(attempt); return attempt }
+      catch {
+        case e: ConcurrentCommitException =>
+          tries += 1
+          if (tries > 10) throw e
+          val head =
+            try currentSnapshot.getOrElse(throw e)
+            catch { case scala.util.control.NonFatal(_) => throw e }
+          for ((cp, b) <- replayKey)
+            if (head.commits.get(cp).exists(_ >= b)) return head.copy(lineage = None)
+          rebaseCheck(base, head, ourBuckets)
+          System.err.println(s"[lake-occ] rebasing onto v${head.version} (attempt $tries)")
+          base = head
+          attempt = build(base)
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  /** Data directory for a commit's files — version-tagged for humans,
+    * uniquified so two RACING writers staging the same next version
+    * never interleave files in one directory (the loser's staged files
+    * are invisible to snapshots and vacuumable if its rebase aborts). */
+  private def newCommitDir(prefix: String, v: Int): Path =
+    new Path(root, s"data/$prefix-$v-${java.util.UUID.randomUUID().toString.take(8)}")
 
   // ------------------------------------------------------------ lifecycle
 
@@ -1036,21 +1125,19 @@ class LakeTable(val spark: SparkSession, val root: String) {
     // no-op replay: strip the PRIOR commit's lineage so callers (metrics)
     // can tell a replay from a fresh commit
     if (cur.commits.get(commitId).exists(_ >= batchId)) return cur.copy(lineage = None)
-    val commitRel = s"data/commit-${cur.version + 1}"
-    val commitDir = new Path(root, commitRel)
+    val commitDir = newCommitDir("commit", cur.version + 1)
     val fpb = filesPerBucket(cur.nBuckets)
     writeBucketed(
       df.withColumn("_bucket", bucketCol(cur.keyColumns, cur.nBuckets))
         .repartition(cur.nBuckets * fpb, col("_bucket"), saltCol(cur.keyColumns, fpb)),
       commitDir, cur.bloomColumns)
     val newFiles = listCommitFiles(commitDir, cur.version + 1, delta = false)
-    val next = cur.copy(version = cur.version + 1,
-      manifests = nextManifests(cur, _ => false, newFiles),
-      commits = cur.commits + (commitId -> batchId),
+    publishOptimistic(cur, base => base.copy(version = base.version + 1,
+      manifests = nextManifests(base, _ => false, newFiles.map(_.copy(seq = base.version + 1))),
+      commits = base.commits + (commitId -> batchId),
       lineage = Some(lineageNode("append",
-        Map("newFiles" -> newFiles.size.toString, "batchId" -> batchId.toString))))
-    writeSnapshot(next)
-    next
+        Map("newFiles" -> newFiles.size.toString, "batchId" -> batchId.toString)))),
+      None, Some((commitId, batchId)))
   }
 
   /** MERGE a reduced delta batch (output of EnvelopeDecoder.toDeltas:
@@ -1157,8 +1244,7 @@ class LakeTable(val spark: SparkSession, val root: String) {
         when(col("_delta").isNotNull, fromDelta).otherwise(col(s"_snap.$c")).as(c)
       }: _*)
 
-    val commitRel = s"data/commit-${cur.version + 1}"
-    val commitDir = new Path(root, commitRel)
+    val commitDir = newCommitDir("commit", cur.version + 1)
     // route rows to their bucket's writer task before the partitioned
     // write (otherwise every task splits into every bucket →
     // tasks×buckets small files); in-bucket salt lifts parallelism above
@@ -1200,12 +1286,14 @@ class LakeTable(val spark: SparkSession, val root: String) {
       o.put("offsetMin", r.getLong(5)); o.put("offsetMax", r.getLong(6))
     }
 
-    val next = cur.copy(version = cur.version + 1,
-      manifests = nextManifests(cur, f => affected.contains(f.bucket), newFiles),
-      commits = cur.commits + (checkpointId -> batchId),
-      lineage = Some(lineage))
-    writeSnapshot(next)
-    next
+    // OCC: a lost version race rebases (O(metadata)) when every interim
+    // commit touched buckets disjoint from `affected`; an overlap is a
+    // genuine lost-update conflict and aborts to the caller
+    publishOptimistic(cur, base => base.copy(version = base.version + 1,
+      manifests = nextManifests(base, f => affected.contains(f.bucket),
+        newFiles.map(_.copy(seq = base.version + 1))),
+      commits = base.commits + (checkpointId -> batchId),
+      lineage = Some(lineage)), Some(affected), Some((checkpointId, batchId)))
   }
 
   /** Current rows of a file subset: plain scan if no delta files are
@@ -1291,8 +1379,7 @@ class LakeTable(val spark: SparkSession, val root: String) {
       else Nil)
     val observed = validated.observe(obs, aggs.head, aggs.tail: _*)
 
-    val commitRel = s"data/commit-${cur.version + 1}"
-    val commitDir = new Path(root, commitRel)
+    val commitDir = newCommitDir("commit", cur.version + 1)
     val tWrite0 = System.nanoTime()
     val outCols = keyCols ++ payloadCols ++ Seq("operation") ++
       (if (hasPatch) Seq("_patch_mask") else Nil) ++ Seq("_bucket")
@@ -1335,11 +1422,16 @@ class LakeTable(val spark: SparkSession, val root: String) {
     lineage.put("newManifests", manifests.size - cur.manifests.count(_.path.nonEmpty))
     System.err.println(s"[lake-mor] batch=$batchId writeMs=$writeMs newFiles=${newFiles.size}")
 
-    val next = cur.copy(version = cur.version + 1,
-      manifests = manifests,
-      commits = cur.commits + (checkpointId -> batchId),
-      lineage = Some(lineage))
-    writeSnapshot(next)
+    // OCC: merge-on-read commits are append-only, so a lost version race
+    // ALWAYS rebases (except layout changes) — the staged delta files are
+    // re-stamped with the final commit seq, which serializes this batch
+    // after the interim commits in the reconstruction order
+    val next = publishOptimistic(cur, base => base.copy(version = base.version + 1,
+      manifests =
+        if (base eq cur) manifests
+        else nextManifests(base, _ => false, newFiles.map(_.copy(seq = base.version + 1))),
+      commits = base.commits + (checkpointId -> batchId),
+      lineage = Some(lineage)), None, Some((checkpointId, batchId)))
 
     if (autoCompact > 0) {
       val hot = next.files.filter(_.delta).groupBy(_.bucket)
@@ -1370,8 +1462,7 @@ class LakeTable(val spark: SparkSession, val root: String) {
     val (targetFiles, keptFiles) = cur.files.partition(f => target.contains(f.bucket))
 
     val rows = reconstructRows(cur, targetFiles)
-    val commitRel = s"data/compact-${cur.version + 1}"
-    val commitDir = new Path(root, commitRel)
+    val commitDir = newCommitDir("compact", cur.version + 1)
     val fpb = filesPerBucket(target.size)
     writeBucketed(
       rows.withColumn("_bucket", bucketCol(cur.keyColumns, cur.nBuckets))
@@ -1417,8 +1508,7 @@ class LakeTable(val spark: SparkSession, val root: String) {
     val (targetFiles, _) = cur.files.partition(f => target.contains(f.bucket))
     if (targetFiles.isEmpty) return cur.copy(lineage = None)
     val rows = snapshotRows(cur, targetFiles)
-    val commitRel = s"data/cluster-${cur.version + 1}"
-    val commitDir = new Path(root, commitRel)
+    val commitDir = newCommitDir("cluster", cur.version + 1)
     val fpb = filesPerBucket(target.size)
     val layout = col("_bucket") +: columns.map(col)
     writeBucketed(
@@ -1442,6 +1532,116 @@ class LakeTable(val spark: SparkSession, val root: String) {
     next
   }
 
+  /** `DELETE FROM ... WHERE pred` as a predicate-scoped copy-on-write
+    * commit — the conversation-purge / retention shape. Manifest stats
+    * bound the rewrite at FILE granularity where the layout allows:
+    *  - delta-free buckets hold key-disjoint final-row files, so only
+    *    the files whose min/max MAY match the predicate are rewritten;
+    *    sibling files in the same bucket carry over untouched — on a
+    *    [[cluster]]ed table a narrow predicate (one conversation, one
+    *    time window) rewrites a handful of files out of 10^10 rows;
+    *  - buckets with outstanding deltas reconstruct whole (a final row
+    *    can combine several files), so the rewrite folds and replaces
+    *    the full bucket — also compacting it.
+    * SQL `DELETE` semantics: rows where the predicate evaluates NULL
+    * are KEPT. [[changes]] across the commit reports the removed keys
+    * as `delete` rows (touched-bucket diff tier — rewritten buckets
+    * only). */
+  def deleteWhere(pred: org.apache.spark.sql.Column): Snapshot =
+    rewriteWhere(pred, None)
+
+  /** `UPDATE ... SET col = expr WHERE pred`: same stats-bounded
+    * copy-on-write shape as [[deleteWhere]]. Assignments may not touch
+    * key columns (a key change is a delete + insert — route it through
+    * the CDC merge path, where bucket routing follows the key).
+    * Assignment expressions are cast to the column's declared type;
+    * they may reference any table column (the pre-update row's values). */
+  def updateWhere(pred: org.apache.spark.sql.Column,
+      set: Map[String, org.apache.spark.sql.Column]): Snapshot = {
+    require(set.nonEmpty, "updateWhere: no assignments")
+    rewriteWhere(pred, Some(set))
+  }
+
+  private def rewriteWhere(pred: org.apache.spark.sql.Column,
+      set: Option[Map[String, org.apache.spark.sql.Column]]): Snapshot = {
+    val t0 = System.nanoTime()
+    val cur = currentSnapshot.getOrElse(sys.error(s"no table at $root"))
+    set.foreach { assign =>
+      val unknown = assign.keys.filterNot(cur.schema.fieldNames.contains)
+      require(unknown.isEmpty, s"updateWhere: unknown columns ${unknown.mkString(", ")}")
+      val keyed = assign.keys.filter(cur.keyColumns.contains)
+      require(keyed.isEmpty, s"updateWhere: cannot assign key columns ${keyed.mkString(", ")}")
+    }
+    val e = org.apache.spark.sql.graftshim.toCatalyst(pred)
+    val unknownAttrs = predAttrs(e).filterNot(cur.schema.fieldNames.contains)
+    require(unknownAttrs.isEmpty,
+      s"predicate references unknown columns: ${unknownAttrs.mkString(", ")}")
+    val opName = if (set.isEmpty) "deleteWhere" else "updateWhere"
+    val (keptBase, keptMor, total) = pruneForPredicate(cur, e)
+    if (keptBase.isEmpty && keptMor.isEmpty) {
+      // stats prove no row matches: a clean no-op, nothing committed
+      System.err.println(s"[lake-$opName] stats-pruned to 0/$total files; no-op")
+      return cur.copy(lineage = None)
+    }
+    // MoR candidate buckets rewrite whole (reconstruction needs the
+    // bucket); delta-free candidates rewrite at file granularity —
+    // base files within a bucket are key-disjoint, so siblings keep
+    val morBuckets = keptMor.map(_.bucket).toSet
+    val morFiles = cur.files.filter(f => morBuckets.contains(f.bucket))
+    val basePaths = keptBase.map(_.path).toSet
+    val removed: DataFile => Boolean =
+      f => morBuckets.contains(f.bucket) || basePaths.contains(f.path)
+    val rewriteBuckets = morBuckets ++ keptBase.map(_.bucket)
+    val parts =
+      (if (morFiles.isEmpty) Nil else Seq(reconstructRows(cur, morFiles))) ++
+        (if (keptBase.isEmpty) Nil else Seq(readFiles(cur, keptBase)))
+    val rows = parts.reduce(_ unionByName _)
+    val obs = Observation()
+    val observed = rows.observe(obs,
+      sum(when(pred, 1L).otherwise(0L)).as("matched"),
+      count(lit(1)).cast("long").as("scanned"))
+    val out = (set match {
+      case None =>
+        // keep rows where pred is false OR null (SQL DELETE semantics)
+        observed.filter(!coalesce(pred, lit(false)))
+      case Some(assign) =>
+        observed.select(cur.schema.fieldNames.toSeq.map { c =>
+          assign.get(c) match {
+            case Some(v) =>
+              when(pred, v.cast(cur.schema(c).dataType)).otherwise(col(c)).as(c)
+            case None => col(c)
+          }
+        }: _*)
+    }).select(cur.schema.fieldNames.toSeq.map(col): _*)
+    val commitDir = newCommitDir(opName, cur.version + 1)
+    val fpb = filesPerBucket(rewriteBuckets.size)
+    writeBucketed(
+      out.withColumn("_bucket", bucketCol(cur.keyColumns, cur.nBuckets))
+        .repartition(rewriteBuckets.size * fpb, col("_bucket"), saltCol(cur.keyColumns, fpb)),
+      commitDir, cur.bloomColumns)
+    val newFiles = listCommitFiles(commitDir, cur.version + 1, delta = false)
+    val m = obs.get
+    def longOf(k: String): Long =
+      Option(m.getOrElse(k, null)).map(_.asInstanceOf[Number].longValue).getOrElse(0L)
+    val rewrittenCount = morFiles.size + keptBase.size
+    val durMs = (System.nanoTime() - t0) / 1000000
+    System.err.println(s"[lake-$opName] buckets=${rewriteBuckets.size}/${cur.nBuckets} " +
+      s"files=$rewrittenCount/$total matched=${longOf("matched")} durMs=$durMs")
+    val next = cur.copy(version = cur.version + 1,
+      manifests = nextManifests(cur, removed, newFiles),
+      lineage = Some(lineageNode(opName, Map(
+        "predicate" -> pred.toString,
+        "matchedRows" -> longOf("matched").toString,
+        "scannedRows" -> longOf("scanned").toString,
+        "candidateBuckets" -> rewriteBuckets.size.toString,
+        "prunedFiles" -> (total - rewrittenCount).toString,
+        "rewrittenFiles" -> rewrittenCount.toString,
+        "newFiles" -> newFiles.size.toString,
+        "durationMs" -> durMs.toString))))
+    writeSnapshot(next)
+    next
+  }
+
   /** Re-bucket the table under a new bucket count as ONE maintenance
     * commit: the current state is reconstructed (outstanding deltas fold
     * in) and rewritten hash-bucketed by `newBuckets`. The bucket count
@@ -1457,8 +1657,7 @@ class LakeTable(val spark: SparkSession, val root: String) {
     require(newBuckets >= 1, s"invalid bucket count $newBuckets")
     if (newBuckets == cur.nBuckets) return cur.copy(lineage = None)
     val rows = read() // reconstructed current state (deltas folded in)
-    val commitRel = s"data/rebucket-${cur.version + 1}"
-    val commitDir = new Path(root, commitRel)
+    val commitDir = newCommitDir("rebucket", cur.version + 1)
     val fpb = filesPerBucket(newBuckets)
     writeBucketed(
       rows.withColumn("_bucket", bucketCol(cur.keyColumns, newBuckets))

@@ -109,21 +109,23 @@ class LakeTableSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(stateSet(df) == oracleSet(wl))
   }
 
-  test("concurrent writers: losing the version race fails cleanly, state intact") {
+  test("concurrent writers: an unreadable interim version blocks rebase, state intact") {
     val wl = EnvelopeGen.workload(seed = 16, nConvs = 8, maxTurns = 3, nTxns = 40)
     val t = tmpTable()
     t.merge(deltasOf(wl), "cp-a", 0L)
     val committed = stateSet(t.read())
-    // simulate another writer winning the race for v2: its version file
-    // lands between our snapshot read and our rename
+    // a garbage version file lands in the race window: the loser must
+    // neither trust it (rebase aborts: unknown provenance) nor corrupt
+    // committed state. Sound-rebase races are covered by
+    // LakeConcurrencySpec; this pins the conservative failure mode.
     val v2 = new java.io.File(t.root, "metadata/v00002.json")
-    java.nio.file.Files.copy(
-      new java.io.File(t.root, "metadata/v00001.json").toPath, v2.toPath)
+    t.preCommitHook = () => {
+      java.nio.file.Files.write(v2.toPath, "{}".getBytes("UTF-8")); ()
+    }
     val ex = intercept[IllegalStateException] {
       t.merge(deltasOf(wl, i => i < 10), "cp-b", 0L)
     }
     assert(ex.getMessage.contains("concurrent commit"))
-    // the loser must not have corrupted committed state
     v2.delete()
     assert(stateSet(t.read()) == committed)
   }
