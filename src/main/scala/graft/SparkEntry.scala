@@ -783,6 +783,33 @@ object SparkEntry {
         "c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment",
         "_offset", "_change_type")
     }),
+    "cdc_lake_sql_cdf" -> ((s, dir) => {
+      // the change feed as a BATCH SQL relation (Delta's readChangeFeed
+      // shape): same feed workload and oracle as cdc_lake_changes, but
+      // consumed through CREATE TEMP VIEW ... USING graft-lake OPTIONS
+      // (readChangeFeed, startingVersion, endingVersion) — pure-SQL
+      // consumers (audits, downstream ELT) read the interval diff with
+      // no Scala API; the scan inherits changes()' manifest-bounded
+      // plan (here: MoR commits → the delta-key fast path).
+      val (base, upd, del) = customerEnvelopes(s, dir)
+      val tmp = graft.Scratch.dir("lake-sql-cdf-gate")
+      val table = new graft.lake.LakeTable(s, tmp)
+      table.create(customerCdcSchema.structType, customerCdcSchema.keyNames, nBuckets = 16)
+      val pipe = new graft.streaming.CdcPipeline(s, customerCdcSchema, table,
+        DecodeOptions(strict = false, validate = true), "gate-sql-cdf",
+        mergeOnRead = true)
+      pipe.processBatch(base.filter(col("offset") % 2 === 0), 0L)
+      val v1 = table.currentVersion.get
+      pipe.processBatch(
+        base.filter(col("offset") % 2 === 1).unionByName(upd).unionByName(del), 1L)
+      val v2 = table.currentVersion.get
+      val view = "cdf_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      s.sql(s"""CREATE OR REPLACE TEMPORARY VIEW $view USING `graft-lake`
+        OPTIONS (path '$tmp', readChangeFeed 'true',
+                 startingVersion '$v1', endingVersion '$v2')""")
+      s.sql(s"""SELECT c_custkey, c_name, c_nationkey, c_acctbal,
+                       c_mktsegment, _offset, _change_type FROM $view""")
+    }),
     "cdc_lake_lookup" -> ((s, dir) => {
       // bucket-pruned point lookup: hash the requested keys driver-side
       // with the writers' bucketing expression, scan ONLY those buckets,
@@ -1547,6 +1574,8 @@ object SparkEntry {
     // commit strategy (merge-on-read) and therefore the changes() plan
     // (delta-key fast path instead of the touched-bucket diff)
     "cdc_lake_changes_fast" -> lakeChangesFeedOracleSql,
+    // identical feed again, consumed through the batch SQL relation
+    "cdc_lake_sql_cdf" -> lakeChangesFeedOracleSql,
     "cdc_lake_sql_rt" ->
       // post-delta state by formula: the %45 keys' value is bumped by
       // 1000 (IEEE double addition is bit-identical on both engines)

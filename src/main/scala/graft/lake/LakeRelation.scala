@@ -14,7 +14,7 @@ import org.apache.spark.sql.graftshim
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{Column, Row}
 import org.apache.spark.sql.sources
-import org.apache.spark.sql.sources.{BaseRelation, DataSourceRegister, Filter, PrunedFilteredScan, RelationProvider, StreamSinkProvider, StreamSourceProvider}
+import org.apache.spark.sql.sources.{BaseRelation, DataSourceRegister, Filter, PrunedFilteredScan, RelationProvider, StreamSinkProvider, StreamSourceProvider, TableScan}
 import org.apache.spark.sql.streaming.OutputMode
 import org.apache.spark.sql.types.{StringType, StructField, StructType}
 
@@ -77,6 +77,15 @@ class LakeDataSource extends RelationProvider with StreamSourceProvider
       parameters: Map[String, String]): BaseRelation = {
     val spark = ctx.sparkSession
     val table = tableFor(ctx, parameters)
+    if (opt(parameters, "readChangeFeed").exists(_.toBoolean)) {
+      // batch SQL view of the change feed (Delta's readChangeFeed
+      // shape): the interval diff as a relation, for pure-SQL consumers
+      val from = opt(parameters, "startingVersion").map(_.toInt).getOrElse(
+        sys.error("graft-lake: readChangeFeed requires 'startingVersion' " +
+          "(the committed version the feed starts AFTER)"))
+      return new LakeChangesRelation(ctx, table, from,
+        opt(parameters, "endingVersion").map(_.toInt))
+    }
     val version = opt(parameters, "versionAsOf").map(_.toInt)
     val snap = version.map(table.snapshot).orElse(table.currentSnapshot)
       .getOrElse(sys.error(s"graft-lake: no table at ${table.root}"))
@@ -235,6 +244,41 @@ object LakeChangeSource {
       keyCols.map(n => snap.schema(snap.schema.fieldIndex(n))) ++
         payload :+ StructField("_change_type", StringType, nullable = true))
   }
+}
+
+/** Batch SQL view of the change feed between two committed versions:
+  * {{{
+  *   CREATE TEMPORARY VIEW ch USING `graft-lake` OPTIONS (
+  *     path '<root>', readChangeFeed 'true',
+  *     startingVersion '3', endingVersion '7')   -- ending optional
+  * }}}
+  * The scan IS [[LakeTable.changes]] — manifest-bounded (delta-key fast
+  * path / touched-bucket diff), one row per changed key with
+  * `_change_type`; schema follows the `to` snapshot. Versions are
+  * immutable, so the relation is deterministic and safely re-plannable
+  * (an omitted endingVersion pins the head AT RELATION CREATION). */
+class LakeChangesRelation(ctx: SQLContext, table: LakeTable,
+    fromVersion: Int, toVersion: Option[Int]) extends BaseRelation with TableScan {
+
+  private val resolvedTo: Int = toVersion.orElse(table.currentVersion)
+    .getOrElse(sys.error(s"graft-lake: no table at ${table.root}"))
+
+  override def sqlContext: SQLContext = ctx
+
+  override val schema: StructType = {
+    val snap = table.snapshot(resolvedTo)
+    val keyCols = snap.keyColumns
+    val payload = snap.schema.fields.filterNot(f => keyCols.contains(f.name))
+    StructType(
+      keyCols.map(n => snap.schema(snap.schema.fieldIndex(n))) ++
+        payload :+ StructField("_change_type", StringType, nullable = true))
+  }
+
+  override def buildScan(): RDD[Row] =
+    table.changes(fromVersion, Some(resolvedTo)).rdd
+
+  override def toString: String =
+    s"LakeChangesRelation[${table.root} v$fromVersion..v$resolvedTo]"
 }
 
 /** REAL-TIME view of a merge-on-read snapshot: a V1

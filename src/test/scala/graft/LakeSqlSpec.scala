@@ -149,4 +149,42 @@ class LakeSqlSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(df.filter(col("extra").isNull).count() == 50)
     assert(df.filter(col("extra") === "x").count() == 10)
   }
+
+  test("readChangeFeed: the interval diff as a batch SQL relation") {
+    val t = newTable(statsCols = Nil)
+    t.append(rows(0, 100), "c0", 0L)
+    val v1 = t.currentVersion.get
+    // commit 2: update ids 10..14, delete id 20 (reduced delta batch)
+    val deltas = spark.range(10, 15)
+      .select(col("id"), (col("id") * 100).as("v"),
+        lit("u").as("operation"), col("id").as("offset"))
+      .unionByName(spark.range(20, 21)
+        .select(col("id"), lit(null).cast("long").as("v"),
+          lit("d").as("operation"), col("id").as("offset")))
+    t.mergeDeltas(deltas, "cp", 0L)
+    val v2 = t.currentVersion.get
+
+    // relation parity with the Scala API
+    val sqlFeed = spark.read.format("graft-lake")
+      .option("readChangeFeed", "true")
+      .option("startingVersion", v1).option("endingVersion", v2)
+      .load(t.root)
+    assert(sqlFeed.schema.fieldNames.toSeq == Seq("id", "v", "_change_type"))
+    assert(sqlFeed.collect().toSet == t.changes(v1, Some(v2)).collect().toSet)
+
+    // pure-SQL consumption; omitted endingVersion pins the current head
+    spark.sql(s"""CREATE OR REPLACE TEMPORARY VIEW ch USING `graft-lake`
+      OPTIONS (path '${t.root}', readChangeFeed 'true', startingVersion '$v1')""")
+    val got = spark.sql(
+      "SELECT _change_type, count(*) AS n FROM ch GROUP BY 1").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("update" -> 5L, "delete" -> 1L))
+
+    // startingVersion is mandatory
+    val ex = intercept[Exception] {
+      spark.read.format("graft-lake")
+        .option("readChangeFeed", "true").load(t.root)
+    }
+    assert(ex.getMessage.contains("startingVersion"))
+  }
 }
