@@ -452,19 +452,45 @@ class LakeTable(val spark: SparkSession, val root: String) {
     next
   }
 
-  /** Additive schema evolution: new nullable columns appended; existing
-    * files remain readable (missing columns read as null). */
+  /** Schema evolution: new nullable columns appended, and existing
+    * columns may WIDEN to a type the old one up-casts to losslessly
+    * (`Cast.canUpCast`: int→long, float→double, decimal precision
+    * growth, …) — the parquet vectorized reader up-casts old files
+    * per-column at scan time, so no data is rewritten (verified for
+    * the integral/float/decimal families; metadata-only commit either
+    * way). Narrowing or incompatible type changes are rejected —
+    * as is tightening nullability (old files may hold nulls). */
   def evolveSchema(newSchema: StructType): Snapshot = {
+    import org.apache.spark.sql.catalyst.expressions.Cast
     val cur = currentSnapshot.getOrElse(sys.error(s"no table at $root"))
     val existing = cur.schema.fieldNames.toSet
     val added = newSchema.fields.filterNot(f => existing.contains(f.name))
     require(added.forall(_.nullable), "evolved columns must be nullable")
     require(cur.schema.fieldNames.forall(newSchema.fieldNames.contains),
       "column drops are not supported")
+    val widened = cur.schema.fields.flatMap { old =>
+      val neu = newSchema(newSchema.fieldIndex(old.name))
+      require(neu.dataType == old.dataType ||
+        Cast.canUpCast(old.dataType, neu.dataType),
+        s"column '${old.name}': ${old.dataType.simpleString} -> " +
+          s"${neu.dataType.simpleString} is not a lossless widening")
+      // a key column's TYPE is part of the physical layout: murmur3
+      // hashes int 5 and long 5 differently, so widening a key would
+      // silently re-route every existing key's bucket
+      require(neu.dataType == old.dataType || !cur.keyColumns.contains(old.name),
+        s"key column '${old.name}' cannot change type (bucket routing " +
+          "hashes the declared type); rebucket into a new table instead")
+      require(neu.nullable || !old.nullable,
+        s"column '${old.name}': cannot tighten nullability (old files may hold nulls)")
+      if (neu.dataType != old.dataType)
+        Some(s"${old.name}:${old.dataType.simpleString}->${neu.dataType.simpleString}")
+      else None
+    }
     val next = cur.copy(version = cur.version + 1, schema = newSchema,
       manifests = nextManifests(cur, _ => false, Nil),
       lineage = Some(lineageNode("evolveSchema",
-        Map("addedColumns" -> added.map(_.name).mkString(",")))))
+        Map("addedColumns" -> added.map(_.name).mkString(","),
+          "widenedColumns" -> widened.mkString(",")))))
     writeSnapshot(next)
     next
   }
@@ -690,10 +716,13 @@ class LakeTable(val spark: SparkSession, val root: String) {
             s"v${from.version}->v${to.version}")
           (snapBucketsRead(from, Some(touched)), snapBucketsRead(to, Some(touched)))
       }
-    // old side aligned to the to-schema (evolution: absent columns = null)
+    // old side aligned to the to-schema (evolution: absent columns read
+    // null; widened columns up-cast — lossless by evolveSchema's rule)
     val oldAligned = payloadCols.foldLeft(oldDf) { (d, c) =>
-      if (d.columns.contains(c)) d
-      else d.withColumn(c, lit(null).cast(to.schema(c).dataType))
+      val toType = to.schema(c).dataType
+      if (!d.columns.contains(c)) d.withColumn(c, lit(null).cast(toType))
+      else if (d.schema(c).dataType != toType) d.withColumn(c, col(c).cast(toType))
+      else d
     }
     def sided(df: DataFrame, side: String) = df.select(
       struct(keyCols.map(col): _*).as("_k"),
@@ -1745,14 +1774,21 @@ class LakeTable(val spark: SparkSession, val root: String) {
 
   /** Delete data files not referenced by any RETAINED snapshot — orphans
     * from failed commits and files only expired snapshots referenced —
-    * plus manifest files no retained snapshot lists. Single-writer
-    * maintenance: must not run concurrently with an in-flight commit
-    * (its staged files are not yet referenced). Returns the number of
-    * files deleted (data + manifests). */
-  def vacuum(): Int = {
+    * plus manifest files no retained snapshot lists. Returns the number
+    * of files deleted (data + manifests).
+    *
+    * `minAgeMs` is the concurrency guard: an in-flight commit's staged
+    * files are not yet referenced by any snapshot and would look like
+    * orphans, so vacuum only deletes files older than this. With the
+    * default 0 vacuum is SINGLE-WRITER maintenance (must not run beside
+    * an in-flight commit); set it above the longest plausible
+    * commit-staging duration (e.g. hours) to run it safely alongside
+    * live writers — the Delta retention-threshold contract. */
+  def vacuum(minAgeMs: Long = 0L): Int = {
     val retained = listVersions.map(snapshot)
     val referenced = retained.flatMap(_.files.map(_.path)).toSet
     val dataDir = new Path(root, "data")
+    val now = System.currentTimeMillis()
     var deleted = 0
     if (fs.exists(dataDir)) {
       val it = fs.listFiles(dataDir, true)
@@ -1761,7 +1797,8 @@ class LakeTable(val spark: SparkSession, val root: String) {
         val f = it.next()
         val p = f.getPath.toString
         val rel = p.substring(p.indexOf(root) + root.length + 1)
-        if (!referenced.contains(rel) && !f.getPath.getName.startsWith("_"))
+        if (!referenced.contains(rel) && !f.getPath.getName.startsWith("_") &&
+            (minAgeMs <= 0L || now - f.getModificationTime >= minAgeMs))
           toDelete += f.getPath
       }
       toDelete.result().foreach { p => if (fs.delete(p, false)) deleted += 1 }
@@ -1778,7 +1815,8 @@ class LakeTable(val spark: SparkSession, val root: String) {
     fs.listStatus(metaDir).foreach { f =>
       val name = f.getPath.getName
       val rel = s"metadata/$name"
-      if (name.startsWith("manifest-") && !referencedManifests.contains(rel)) {
+      if (name.startsWith("manifest-") && !referencedManifests.contains(rel) &&
+          (minAgeMs <= 0L || now - f.getModificationTime >= minAgeMs)) {
         if (fs.delete(f.getPath, false)) { deleted += 1; manifestCache.remove(rel) }
       }
     }

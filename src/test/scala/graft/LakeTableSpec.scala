@@ -387,4 +387,71 @@ class LakeTableSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(t.read(Some(1)).count() == v1Rows, "time travel survives vacuum")
     assert(stateSet(t.read()) == oracleSet(wl))
   }
+
+  test("vacuum minAge grace keeps fresh unreferenced files (in-flight staging)") {
+    val wl = EnvelopeGen.workload(seed = 41, nConvs = 8, maxTurns = 3, nTxns = 60)
+    val t = tmpTable()
+    t.merge(deltasOf(wl), "cp", 0L)
+    // a freshly-staged file of an in-flight (not yet published) commit
+    val staged = new java.io.File(t.root, "data/commit-2-aaaa1111/_bucket=0")
+    staged.mkdirs()
+    val f = new java.io.File(staged, "part-staged.parquet")
+    java.nio.file.Files.write(f.toPath, Array[Byte](1, 2, 3))
+    assert(t.vacuum(minAgeMs = 3600 * 1000L) == 0,
+      "files younger than the grace period must survive")
+    assert(f.exists())
+    assert(t.vacuum() == 1, "without the grace the orphan is collected")
+    assert(!f.exists())
+  }
+
+  test("schema evolution: lossless type widening is metadata-only; narrowing and key changes rejected") {
+    import org.apache.spark.sql.types._
+    val dir = Files.createTempDirectory("lake-widen").toString
+    val t = new graft.lake.LakeTable(spark, dir)
+    val s0 = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("n", IntegerType, nullable = true),
+      StructField("x", FloatType, nullable = true)))
+    t.create(s0, Seq("id"), nBuckets = 4)
+    t.append(spark.range(0, 100).select(col("id"),
+      col("id").cast("int").as("n"), col("id").cast("float").as("x")), "a", 0L)
+    // a merge-on-read delta written under the OLD (narrow) schema
+    t.mergeDeltas(spark.range(100, 110).select(col("id"),
+      col("id").cast("int").as("n"), col("id").cast("float").as("x"),
+      lit("c").as("operation"), col("id").as("offset")), "cp", 0L)
+    val filesBefore = t.currentSnapshot.get.files.map(_.path).toSet
+
+    val s1 = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("n", LongType, nullable = true),
+      StructField("x", DoubleType, nullable = true)))
+    val snap = t.evolveSchema(s1)
+    assert(snap.files.map(_.path).toSet == filesBefore, "no data rewritten")
+    val df = t.read() // old base + old delta files up-cast through the fold
+    assert(df.schema("n").dataType == LongType)
+    assert(df.schema("x").dataType == DoubleType)
+    assert(df.count() == 110)
+    assert(df.agg(org.apache.spark.sql.functions.sum("n")).head.getLong(0) == (0L until 110L).sum)
+    // new commits write the wide type; reads stay consistent
+    t.mergeDeltas(spark.range(110, 115).select(col("id"), col("id").as("n"),
+      col("id").cast("double").as("x"), lit("c").as("operation"),
+      col("id").as("offset")), "cp", 1L)
+    assert(t.read().count() == 115)
+
+    // narrowing rejected
+    val narrow = StructType(s1.fields.map(f =>
+      if (f.name == "n") f.copy(dataType = IntegerType) else f))
+    assert(intercept[IllegalArgumentException] { t.evolveSchema(narrow) }
+      .getMessage.contains("lossless"))
+    // key-column type changes rejected (murmur3 buckets by declared type)
+    val keyWiden = StructType(s1.fields.map(f =>
+      if (f.name == "id") f.copy(dataType = DecimalType(20, 0)) else f))
+    assert(intercept[IllegalArgumentException] { t.evolveSchema(keyWiden) }
+      .getMessage.contains("key column"))
+    // nullability tightening rejected
+    val tighten = StructType(s1.fields.map(f =>
+      if (f.name == "n") f.copy(nullable = false) else f))
+    assert(intercept[IllegalArgumentException] { t.evolveSchema(tighten) }
+      .getMessage.contains("nullability"))
+  }
 }
