@@ -16,7 +16,7 @@ import org.apache.spark.sql.{Column, Row}
 import org.apache.spark.sql.sources
 import org.apache.spark.sql.sources.{BaseRelation, DataSourceRegister, Filter, PrunedFilteredScan, RelationProvider, StreamSinkProvider, StreamSourceProvider, TableScan}
 import org.apache.spark.sql.streaming.OutputMode
-import org.apache.spark.sql.types.{StringType, StructField, StructType}
+import org.apache.spark.sql.types.{IntegerType, StringType, StructField, StructType, TimestampType}
 
 import graft.decode.DecodeOptions
 import graft.model.ArcSchemaParser
@@ -77,6 +77,9 @@ class LakeDataSource extends RelationProvider with StreamSourceProvider
       parameters: Map[String, String]): BaseRelation = {
     val spark = ctx.sparkSession
     val table = tableFor(ctx, parameters)
+    if (opt(parameters, "history").exists(_.toBoolean))
+      // DESCRIBE HISTORY analog: commit audit log as a relation
+      return new LakeHistoryRelation(ctx, table)
     if (opt(parameters, "readChangeFeed").exists(_.toBoolean)) {
       // batch SQL view of the change feed (Delta's readChangeFeed
       // shape): the interval diff as a relation, for pure-SQL consumers
@@ -126,7 +129,8 @@ class LakeDataSource extends RelationProvider with StreamSourceProvider
       schema: Option[StructType], providerName: String,
       parameters: Map[String, String]): Source =
     new LakeChangeSource(ctx, tableFor(ctx, parameters),
-      opt(parameters, "startingVersion").map(_.toInt))
+      opt(parameters, "startingVersion").map(_.toInt),
+      opt(parameters, "maxVersionsPerBatch").map(_.toInt))
 
   // ------------------------------------------------------ streaming sink
 
@@ -195,14 +199,34 @@ class LakeCdcSink(val pipeline: CdcPipeline) extends Sink {
   * O(table). Schema is pinned at stream start (evolved columns appear
   * to new streams; running streams keep their declared projection). */
 class LakeChangeSource(ctx: SQLContext, table: LakeTable,
-    startingVersion: Option[Int]) extends Source {
+    startingVersion: Option[Int],
+    maxVersionsPerBatch: Option[Int] = None) extends Source {
 
   private val declared = LakeChangeSource.feedSchema(table)
+
+  /** Highest version this source has offered or served — the base for
+    * `maxVersionsPerBatch` rate limiting (Delta's maxFilesPerTrigger
+    * shape: bound each micro-batch to k commit intervals so a stream
+    * catching up over a long table history doesn't plan one giant
+    * batch). Best-effort: the first batch after a RESTART is uncapped
+    * (the checkpointed position lives with the engine, not here), and
+    * the bootstrap snapshot is inherently one batch. */
+  private var lastOffered: Option[Int] = None
 
   override def schema: StructType = declared
 
   override def getOffset: Option[V1Offset] =
-    table.currentVersion.map(v => LongOffset(v.toLong))
+    table.currentVersion.map { head =>
+      val next = maxVersionsPerBatch match {
+        case Some(k) =>
+          require(k >= 1, s"maxVersionsPerBatch must be >= 1, got $k")
+          lastOffered.orElse(startingVersion)
+            .map(b => math.min(head, b + k)).getOrElse(head)
+        case None => head
+      }
+      lastOffered = Some(next)
+      LongOffset(next.toLong)
+    }
 
   private def versionOf(o: V1Offset): Int = o match {
     case LongOffset(v) => v.toInt
@@ -212,6 +236,7 @@ class LakeChangeSource(ctx: SQLContext, table: LakeTable,
 
   override def getBatch(start: Option[V1Offset], end: V1Offset): DataFrame = {
     val to = versionOf(end)
+    lastOffered = Some(math.max(lastOffered.getOrElse(-1), to))
     val feed = start.map(versionOf).orElse(startingVersion) match {
       case Some(from) => table.changes(from, Some(to))
       case None => // bootstrap: current state as inserts, no diff join
@@ -244,6 +269,37 @@ object LakeChangeSource {
       keyCols.map(n => snap.schema(snap.schema.fieldIndex(n))) ++
         payload :+ StructField("_change_type", StringType, nullable = true))
   }
+}
+
+/** `DESCRIBE HISTORY` analog — the commit audit log as a relation:
+  * {{{
+  *   CREATE TEMPORARY VIEW h USING `graft-lake` OPTIONS (
+  *     path '<root>', history 'true')
+  *   -- version | committed_at | operation | details (lineage JSON)
+  * }}}
+  * Metadata-only (one row per retained snapshot, built on the driver);
+  * `details` carries the full per-commit lineage — op counts, offset
+  * ranges, per-bucket breakdowns — as JSON for ad-hoc SQL extraction. */
+class LakeHistoryRelation(ctx: SQLContext, table: LakeTable)
+    extends BaseRelation with TableScan {
+
+  override def sqlContext: SQLContext = ctx
+
+  override val schema: StructType = StructType(Seq(
+    StructField("version", IntegerType, nullable = false),
+    StructField("committed_at", TimestampType, nullable = true),
+    StructField("operation", StringType, nullable = true),
+    StructField("details", StringType, nullable = true)))
+
+  override def buildScan(): RDD[Row] = {
+    val rows = table.historyDetail().map { case (v, ts, op, det) =>
+      Row(v, if (ts < 0) null else new java.sql.Timestamp(ts),
+        op.orNull, det.orNull)
+    }
+    ctx.sparkContext.parallelize(rows, 1)
+  }
+
+  override def toString: String = s"LakeHistoryRelation[${table.root}]"
 }
 
 /** Batch SQL view of the change feed between two committed versions:

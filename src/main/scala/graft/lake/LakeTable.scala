@@ -102,7 +102,10 @@ class LakeTable(val spark: SparkSession, val root: String) {
       commits: Map[String, Long],
       lineage: Option[JsonNode],
       statsColumns: Seq[String] = Nil,
-      bloomColumns: Seq[String] = Nil) {
+      bloomColumns: Seq[String] = Nil,
+      /** Commit wall-clock (epoch ms), stamped at publish; -1 for
+        * snapshots written before the field existed. */
+      committedAtMs: Long = -1L) {
     def files: Seq[DataFile] = manifests.flatMap(_.files)
   }
 
@@ -174,7 +177,9 @@ class LakeTable(val spark: SparkSession, val root: String) {
       bloomColumns =
         if (node.has("bloomColumns"))
           node.get("bloomColumns").elements().asScala.map(_.asText()).toSeq
-        else Nil)
+        else Nil,
+      committedAtMs =
+        if (node.has("committedAtMs")) node.get("committedAtMs").asLong() else -1L)
   }
 
   def currentSnapshot: Option[Snapshot] = currentVersion.map(snapshot)
@@ -243,6 +248,7 @@ class LakeTable(val spark: SparkSession, val root: String) {
     s.manifests.foreach(m => ma.add(m.path))
     val cm = node.putObject("commits")
     s.commits.foreach { case (k, v) => cm.put(k, v) }
+    node.put("committedAtMs", System.currentTimeMillis())
     if (s.statsColumns.nonEmpty) {
       val sc = node.putArray("statsColumns"); s.statsColumns.foreach(sc.add)
     }
@@ -1712,6 +1718,17 @@ class LakeTable(val spark: SparkSession, val root: String) {
   /** Commit history of the retained snapshots: (version, lineage). */
   def history(): Seq[(Int, Option[JsonNode])] =
     listVersions.map(v => (v, snapshot(v).lineage))
+
+  /** History with commit wall-clock and flattened lineage, for the SQL
+    * `history` view: (version, committedAtMs (-1 unknown), operation,
+    * lineage JSON). */
+  def historyDetail(): Seq[(Int, Long, Option[String], Option[String])] =
+    listVersions.map { v =>
+      val s = snapshot(v)
+      (v, s.committedAtMs,
+        s.lineage.flatMap(n => Option(n.get("operation")).map(_.asText())),
+        s.lineage.map(_.toString))
+    }
 
   /** Roll the table back to a retained earlier version by publishing a
     * NEW snapshot carrying that version's file list and schema — history

@@ -187,4 +187,29 @@ class LakeSqlSpec extends AnyFunSuite with SparkSessionTestWrapper {
     }
     assert(ex.getMessage.contains("startingVersion"))
   }
+
+  test("history view: the commit audit log as a SQL relation") {
+    val t = newTable(statsCols = Nil)
+    t.append(rows(0, 50), "c0", 0L)
+    t.mergeDeltas(spark.range(0, 5)
+      .select(col("id"), (col("id") + 1000).as("v"),
+        org.apache.spark.sql.functions.lit("u").as("operation"),
+        col("id").as("offset")), "cp", 0L)
+    t.compact()
+    val h = spark.read.format("graft-lake")
+      .option("history", "true").load(t.root)
+    assert(h.schema.fieldNames.toSeq ==
+      Seq("version", "committed_at", "operation", "details"))
+    val ops = h.orderBy("version").collect()
+      .map(r => r.getInt(0) -> r.getString(2)).toMap
+    assert(ops == Map(0 -> null, 1 -> "append", 2 -> "mergeDeltas", 3 -> "compact"))
+    // every post-creation commit is wall-clock stamped
+    assert(h.filter(col("version") > 0).collect().forall(_.getTimestamp(1) != null))
+    // details JSON is SQL-extractable (per-commit lineage counts)
+    spark.sql(s"""CREATE OR REPLACE TEMPORARY VIEW ch_hist USING `graft-lake`
+      OPTIONS (path '${t.root}', history 'true')""")
+    val events = spark.sql("""SELECT get_json_object(details, '$.events')
+      FROM ch_hist WHERE operation = 'mergeDeltas'""").head.getString(0)
+    assert(events == "5")
+  }
 }

@@ -85,4 +85,31 @@ class LakeStreamSourceSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(seen.size == 1)
     assert(seen(0) == Map("update" -> 2)) // only the post-v1 interval
   }
+
+  test("maxVersionsPerBatch rate-limits catch-up to one commit interval per micro-batch") {
+    val t = new LakeTable(spark, Scratch.dir("cdf-src-rate"))
+    t.create(schema, Seq("id"), nBuckets = 4)
+    t.append(rows(0, 10), "c0", 0L)
+    val v1 = t.currentVersion.get
+    // three more commits BEFORE the stream starts — an uncapped stream
+    // would fold them into one catch-up batch
+    t.merge(deltas(rows(10, 12), "c"), "c1", 1L)
+    t.merge(deltas(rows(12, 14), "c"), "c2", 2L)
+    t.merge(deltas(rows(14, 16), "c"), "c3", 3L)
+    val seen = mutable.Buffer.empty[Set[Long]]
+    val q = spark.readStream.format("graft-lake")
+      .option("startingVersion", v1.toString)
+      .option("maxVersionsPerBatch", "1")
+      .load(t.root)
+      .writeStream.option("checkpointLocation", Scratch.dir("cdf-rate-ckpt"))
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[Row], _: Long) =>
+        seen += df.collect().map(_.getLong(0)).toSet
+        ()
+      }
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    // one micro-batch per commit interval, in order
+    assert(seen.toSeq == Seq(Set(10L, 11L), Set(12L, 13L), Set(14L, 15L)))
+  }
 }
