@@ -823,7 +823,8 @@ class LakeTable(val spark: SparkSession, val root: String) {
     * (and tight) changed-key superset. */
   private[graft] def intervalChangeFiles(from: Snapshot, to: Snapshot): Option[Seq[DataFile]] = {
     val keyPreserving = Set(
-      "compact", "cluster", "setStatsColumns", "setBloomColumns", "evolveSchema")
+      "compact", "cluster", "zorder", "setStatsColumns", "setBloomColumns",
+      "evolveSchema")
     val buf = Seq.newBuilder[DataFile]
     var v = from.version + 1
     while (v <= to.version) {
@@ -1567,6 +1568,79 @@ class LakeTable(val spark: SparkSession, val root: String) {
     next
   }
 
+  /** Z-ORDER maintenance commit: like [[cluster]], but rows are laid
+    * out along a MORTON CURVE over `columns` instead of
+    * lexicographically — each dimension is quantile-bucketed (equal
+    * frequency, one `approxQuantile` stat pass over the targeted rows)
+    * and the bucket ids' bits are interleaved, so every file covers a
+    * narrow range in EVERY clustered column. Lexicographic layout only
+    * tightens the leading column's per-file min/max (a trailing-column
+    * predicate still scans everything); z-order makes stats pruning
+    * effective for predicates on ANY of the clustered columns — the
+    * multi-dimensional version of the cluster() win at 10^10 rows.
+    * Columns must be numeric / date / timestamp (quantiles need an
+    * order-preserving double mapping). Logical state, bucket routing
+    * and the change feed are unaffected (key-preserving commit). */
+  def zorder(columns: Seq[String], buckets: Option[Set[Int]] = None,
+      bits: Int = 8): Snapshot = {
+    val t0 = System.nanoTime()
+    val cur = currentSnapshot.getOrElse(sys.error(s"no table at $root"))
+    require(columns.size >= 2 && columns.size <= 6,
+      "zorder: 2-6 columns (one column: use cluster())")
+    validateStatsColumns(cur.schema, columns)
+    def asDouble(c: String): org.apache.spark.sql.Column = {
+      val dt = cur.schema(cur.schema.fieldIndex(c)).dataType
+      require(dt != StringType,
+        s"zorder column '$c': strings have no order-preserving double mapping; use cluster()")
+      dt match {
+        case DateType => col(c).cast(TimestampType).cast(DoubleType)
+        case _ => col(c).cast(DoubleType)
+      }
+    }
+    val target = buckets.getOrElse((0 until cur.nBuckets).toSet)
+    val (targetFiles, _) = cur.files.partition(f => target.contains(f.bucket))
+    if (targetFiles.isEmpty) return cur.copy(lineage = None)
+    val rows = snapshotRows(cur, targetFiles)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    try {
+      // equal-frequency cuts per dimension (one GK-sketch pass)
+      val statDf = rows.select(columns.indices.map(i =>
+        asDouble(columns(i)).as(s"_z$i")): _*)
+      val nCuts = (1 << bits) - 1
+      val probs = (1 to nCuts).map(_.toDouble / (nCuts + 1)).toArray
+      val cuts: Array[Array[Double]] = columns.indices.map { i =>
+        statDf.stat.approxQuantile(s"_z$i", probs, 0.005)
+          .distinct.sorted.toArray
+      }.toArray
+      val zc = graft.functions.ZValue.z(columns.map(asDouble), cuts, bits).as("_z")
+      val commitDir = newCommitDir("zorder", cur.version + 1)
+      val fpb = filesPerBucket(target.size)
+      val withZ = rows
+        .withColumn("_bucket", bucketCol(cur.keyColumns, cur.nBuckets))
+        .withColumn("_z", zc)
+      writeBucketed(
+        withZ.repartitionByRange(target.size * fpb, col("_bucket"), col("_z"))
+          .sortWithinPartitions(col("_bucket"), col("_z"))
+          .drop("_z"),
+        commitDir, cur.bloomColumns)
+      val newFiles = listCommitFiles(commitDir, cur.version + 1, delta = false)
+      val durMs = (System.nanoTime() - t0) / 1000000
+      System.err.println(s"[lake-zorder] buckets=${target.size} cols=${columns.mkString(",")} " +
+        s"removed=${targetFiles.size} new=${newFiles.size} durMs=$durMs")
+      val next = cur.copy(version = cur.version + 1,
+        manifests = nextManifests(cur, f => target.contains(f.bucket), newFiles),
+        lineage = Some(lineageNode("zorder", Map(
+          "columns" -> columns.mkString(","),
+          "bits" -> bits.toString,
+          "buckets" -> target.size.toString,
+          "removedFiles" -> targetFiles.size.toString,
+          "newFiles" -> newFiles.size.toString,
+          "durationMs" -> durMs.toString))))
+      writeSnapshot(next)
+      next
+    } finally rows.unpersist()
+  }
+
   /** `DELETE FROM ... WHERE pred` as a predicate-scoped copy-on-write
     * commit — the conversation-purge / retention shape. Manifest stats
     * bound the rewrite at FILE granularity where the layout allows:
@@ -1765,13 +1839,23 @@ class LakeTable(val spark: SparkSession, val root: String) {
     * `respectConsumers = false` to expire anyway (the lagging
     * consumer's next [[changesSince]] then fails with the re-bootstrap
     * remediation rather than silently losing changes). */
-  def expireSnapshots(keepLast: Int, respectConsumers: Boolean = true): Seq[Int] = {
+  def expireSnapshots(keepLast: Int, respectConsumers: Boolean = true,
+      olderThanMs: Long = 0L): Seq[Int] = {
     require(keepLast >= 1, "must retain at least the current snapshot")
     val versions = listVersions
     val floor: Int =
       if (!respectConsumers) Int.MaxValue
       else consumerPositions().values.reduceOption(_ min _).getOrElse(Int.MaxValue)
-    val expired = versions.dropRight(keepLast).filter(_ < floor)
+    val now = System.currentTimeMillis()
+    val expired = versions.dropRight(keepLast).filter(_ < floor).filter { v =>
+      olderThanMs <= 0L || {
+        // age-based retention (time-travel SLA): keep snapshots younger
+        // than the horizon; a pre-timestamp legacy snapshot (-1) is by
+        // definition older than any horizon
+        val ts = snapshot(v).committedAtMs
+        ts < 0L || now - ts >= olderThanMs
+      }
+    }
     expired.foreach(v => fs.delete(versionFile(v), false))
     expired
   }

@@ -147,6 +147,69 @@ class LakeLayoutSpec extends AnyFunSuite with SparkSessionTestWrapper {
     } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
   }
 
+  test("ZValue: Morton interleave orders quadrants; null dimension sorts first") {
+    import graft.functions.ZValue
+    val cuts = Array(Array(0.5), Array(0.5))
+    val r = spark.range(0, 1).select(
+      ZValue.z(Seq(lit(0.0), lit(0.0)), cuts, 1).as("z00"),
+      ZValue.z(Seq(lit(0.0), lit(0.9)), cuts, 1).as("z01"),
+      ZValue.z(Seq(lit(0.9), lit(0.0)), cuts, 1).as("z10"),
+      ZValue.z(Seq(lit(0.9), lit(0.9)), cuts, 1).as("z11"),
+      ZValue.z(Seq(lit(null).cast("double"), lit(0.9)), cuts, 1).as("znull"))
+      .head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((0L, 1L, 2L, 3L)), "dimension 0 owns the high bit (Morton order)")
+    assert(r.getLong(4) == 1L, "null dimension maps to bucket 0")
+  }
+
+  test("zorder(): Morton layout prunes predicates on EVERY clustered column") {
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "32")
+    try {
+      val t = new LakeTable(spark, Scratch.dir("lake-zorder"))
+      val sch = StructType(Seq(
+        StructField("id", LongType, nullable = false),
+        StructField("x", LongType, nullable = true),
+        StructField("y", LongType, nullable = true)))
+      // one bucket: the files partition the PURE z-curve, so per-file
+      // pruning quality is what's measured (multi-bucket tables get the
+      // same per-bucket curve; bucket count is orthogonal)
+      t.create(sch, Seq("id"), nBuckets = 1, statsColumns = Seq("x", "y"))
+      // x and y decorrelated from id and from each other: any
+      // single-column sort leaves the OTHER column spanning the full
+      // domain per file
+      val rows = spark.range(0, 40000).select(col("id"),
+        ((col("id") * 2654435761L) % 10000).as("x"),
+        ((col("id") * 2246822519L) % 10000).as("y"))
+      t.append(rows, "c0", 0L)
+      val predX = col("x") >= 9000L && col("x") < 9500L
+      val predY = col("y") >= 4000L && col("y") < 4500L
+
+      // lexicographic cluster on (x, y): only the LEADING column prunes
+      t.cluster(Seq("x", "y"))
+      val files = t.currentSnapshot.get.files.size
+      val lexX = t.readWhere(predX).inputFiles.length
+      val lexY = t.readWhere(predY).inputFiles.length
+      assert(lexX * 2 <= files, s"leading column should prune ($lexX/$files)")
+      assert(lexY * 2 > files,
+        s"trailing column barely prunes lexicographically ($lexY/$files)")
+
+      val v1 = t.currentVersion.get
+      t.zorder(Seq("x", "y"))
+      val v2 = t.currentVersion.get
+      val filesZ = t.currentSnapshot.get.files.size
+      val zX = t.readWhere(predX).inputFiles.length
+      val zY = t.readWhere(predY).inputFiles.length
+      assert(zX * 2 <= filesZ, s"x under z-order: kept $zX of $filesZ")
+      assert(zY * 2 <= filesZ, s"y under z-order: kept $zY of $filesZ")
+      // logical state unchanged: empty feed, parity answers
+      assert(t.changes(v1, Some(v2)).count() == 0)
+      assert(t.readWhere(predY).count() == rows.filter(predY).count())
+      assert(t.readWhere(predX).count() == rows.filter(predX).count())
+      assert(t.read().count() == 40000)
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+  }
+
   test("cluster() folds outstanding deltas (it is also a compaction)") {
     val t = new LakeTable(spark, Scratch.dir("lake-cluster-mor"))
     t.create(schema, Seq("id"), nBuckets = 2, statsColumns = Seq("v"))

@@ -388,6 +388,19 @@ class LakeTableSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(stateSet(t.read()) == oracleSet(wl))
   }
 
+  test("expireSnapshots olderThan horizon keeps young snapshots (time-travel SLA)") {
+    val wl = EnvelopeGen.workload(seed = 42, nConvs = 8, maxTurns = 3, nTxns = 60)
+    val n = wl.ops.length
+    val t = tmpTable()
+    t.merge(deltasOf(wl, i => i < n / 2), "cp", 0L)
+    t.merge(deltasOf(wl, i => i >= n / 2), "cp", 1L)
+    // everything is seconds old: a 1h horizon expires nothing
+    assert(t.expireSnapshots(keepLast = 1, olderThanMs = 3600 * 1000L).isEmpty)
+    assert(t.read(Some(1)).count() > 0, "time travel intact inside the horizon")
+    // horizon 0 = pure keepLast semantics
+    assert(t.expireSnapshots(keepLast = 1) == Seq(0, 1))
+  }
+
   test("vacuum minAge grace keeps fresh unreferenced files (in-flight staging)") {
     val wl = EnvelopeGen.workload(seed = 41, nConvs = 8, maxTurns = 3, nTxns = 60)
     val t = tmpTable()
