@@ -1040,6 +1040,16 @@ object SparkEntry {
     "doc_minhash_lsh" -> ((s, dir) =>
       DedupOps.minHashPortablePairs(t(s, dir, "documents"), "doc_id", "text",
         shingleN = 5, numHashes = 16, threshold = 0.8)),
+    "doc_dup_clusters" -> ((s, dir) =>
+      // pair detection → CLUSTER assignment: connected components over
+      // the minhash-LSH pair relation (min-label propagation on the
+      // pair set only — never the corpus), one canonical id per
+      // duplicate cluster; the oracle closes the identical pair SQL
+      // transitively with a recursive CTE
+      DedupOps.duplicateClusters(
+        DedupOps.minHashPortablePairs(t(s, dir, "documents"), "doc_id", "text",
+          shingleN = 5, numHashes = 16, threshold = 0.8),
+        "id_a", "id_b")),
     "doc_simhash" -> ((s, dir) =>
       DedupOps.simHashPortablePairs(t(s, dir, "documents"), "doc_id", "text",
         shingleN = 5, maxHamming = 3)),
@@ -1616,6 +1626,9 @@ object SparkEntry {
         |FROM customer""".stripMargin,
     "doc_minhash_lsh" ->
       DedupOps.minHashPortableOracleSql("documents", "doc_id",
+        shingleN = 5, numHashes = 16, threshold = 0.8),
+    "doc_dup_clusters" ->
+      DedupOps.duplicateClustersOracleSql("documents", "doc_id",
         shingleN = 5, numHashes = 16, threshold = 0.8),
     "doc_simhash" ->
       DedupOps.simHashPortableOracleSql("documents", "doc_id",

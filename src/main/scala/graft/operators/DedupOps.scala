@@ -282,6 +282,79 @@ object DedupOps {
        |WHERE $agree >= $minAgree""".stripMargin
   }
 
+  /** Duplicate-CLUSTER assignment over a near-dup pair relation — the
+    * step a dedup pipeline runs AFTER pair detection: connected
+    * components with one canonical id per cluster (the minimum member
+    * id), so "keep the canonical, drop the rest" becomes a filter.
+    *
+    * Iterative min-label propagation on the symmetric edge set. Scale
+    * shape: every round is two hash joins on the PAIR relation only
+    * (the docs that have a near-twin — a few percent of a 10^10-doc
+    * corpus, never the corpus itself), and the round count is the
+    * cluster diameter — banded detection emits per-bucket cliques, so
+    * 2–4 in practice. A hard `maxIters` cap fails LOUDLY rather than
+    * returning a silently half-merged clustering.
+    *
+    * Returns (id, cluster_id) for every id appearing in `pairs`. */
+  def duplicateClusters(pairs: DataFrame, aCol: String, bCol: String,
+      maxIters: Int = 50): DataFrame = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER
+    val edges = pairs.select(col(aCol).as("u"), col(bCol).as("v"))
+      .unionByName(pairs.select(col(bCol).as("u"), col(aCol).as("v")))
+      .distinct().persist(lvl)
+    var labels = edges.groupBy(col("u").as("id"))
+      .agg(min(col("v")).as("mn"))
+      .select(col("id"), least(col("id"), col("mn")).as("cluster_id"))
+      .persist(lvl)
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIters) {
+      val viaNbr = edges
+        .join(labels.select(col("id").as("v"), col("cluster_id").as("nbl")), "v")
+        .groupBy(col("u").as("id")).agg(min(col("nbl")).as("nbl"))
+      val next = labels.join(viaNbr, Seq("id"), "left")
+        .select(col("id"),
+          least(col("cluster_id"), coalesce(col("nbl"), col("cluster_id")))
+            .as("cluster_id"))
+        .persist(lvl)
+      converged = next
+        .join(labels.select(col("id"), col("cluster_id").as("old")), "id")
+        .filter(col("cluster_id") =!= col("old")).isEmpty
+      labels.unpersist()
+      labels = next
+      i += 1
+    }
+    edges.unpersist()
+    require(converged, s"duplicateClusters: not converged after $maxIters rounds")
+    labels
+  }
+
+  /** DuckDB oracle for [[duplicateClusters]] over
+    * [[minHashPortablePairs]] edges: the identical pair relation (same
+    * md5-derived signatures, brute-force agreement) closed transitively
+    * with a recursive CTE, cluster id = min reachable id. */
+  def duplicateClustersOracleSql(table: String, idCol: String,
+      shingleN: Int = 5, numHashes: Int = 16, threshold: Double = 0.5): String = {
+    val sigCols = (0 until numHashes).map(s =>
+      s"MIN((h32*${affineA(s)} + ${affineB(s)}) % $MinHashP) AS m$s").mkString(",\n    ")
+    val agree = (0 until numHashes).map(s =>
+      s"(CASE WHEN a.m$s = b.m$s THEN 1 ELSE 0 END)").mkString(" + ")
+    val minAgree = math.ceil(numHashes * threshold).toInt
+    s"""${shinglesCteDuck(table, idCol, shingleN).replaceFirst("WITH ", "WITH RECURSIVE ")},
+       |hv AS (SELECT id, CAST(('0x' || substr(md5(sh),1,8)) AS BIGINT) AS h32 FROM sh),
+       |sig AS (SELECT id, $sigCols FROM hv GROUP BY id),
+       |pr AS (SELECT a.id AS id_a, b.id AS id_b
+       |  FROM sig a JOIN sig b ON a.id < b.id WHERE $agree >= $minAgree),
+       |edges AS (SELECT id_a AS u, id_b AS v FROM pr
+       |  UNION SELECT id_b, id_a FROM pr),
+       |reach AS (
+       |  SELECT u, v FROM edges
+       |  UNION
+       |  SELECT e.u, r.v FROM edges e JOIN reach r ON e.v = r.u
+       |)
+       |SELECT u AS id, LEAST(u, MIN(v)) AS cluster_id FROM reach GROUP BY u""".stripMargin
+  }
+
   /** Word-set Jaccard near-dup pairs with MINHASH-BAND candidate blocking
     * (id_a < id_b, exact integer intersection/union counts, kept iff
     * 2·|∩| ≥ |∪|). The blocking key is `numHashes/rowsPerBand` bands of

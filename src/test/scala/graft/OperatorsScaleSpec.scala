@@ -272,4 +272,20 @@ class OperatorsScaleSpec extends AnyFunSuite with SparkSessionTestWrapper {
       .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(got == brute)
   }
+
+  test("duplicateClusters: connected components with canonical min-id labels") {
+    import spark.implicits._
+    // triangle-free chain 1-2-3 (needs propagation), disjoint pair,
+    // reversed-order pair (operator must not assume id_a < id_b)
+    val pairs = Seq((2L, 1L), (2L, 3L), (10L, 11L), (7L, 5L))
+      .toDF("id_a", "id_b")
+    val got = DedupOps.duplicateClusters(pairs, "id_a", "id_b").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 10L, 5L -> 5L, 7L -> 5L))
+    // a diameter-7 chain exercises multi-round convergence
+    val chain = (1L until 8L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val labels = DedupOps.duplicateClusters(chain, "id_a", "id_b").collect()
+    assert(labels.length == 8 && labels.forall(_.getLong(1) == 1L))
+  }
 }
