@@ -316,7 +316,8 @@ class LakeTable(val spark: SparkSession, val root: String) {
     * construction — merge-on-read reconstruction orders by commit seq,
     * and the rebase re-stamps the new files with the final version. */
   private def rebaseCheck(base: Snapshot, cur: Snapshot,
-      ourBuckets: Option[Set[Int]]): Unit = {
+      ourBuckets: Option[Set[Int]],
+      allowedOps: Option[Set[String]] = None): Unit = {
     def conflict(msg: String): Nothing = throw new ConcurrentCommitException(
       s"concurrent commit conflict (base v${base.version} -> head v${cur.version}): $msg")
     if (cur.schema != base.schema) conflict("schema changed concurrently")
@@ -332,6 +333,10 @@ class LakeTable(val spark: SparkSession, val root: String) {
         .getOrElse("")
       if (op == "rebucket" || op == "rollback" || op.isEmpty)
         conflict(s"interim commit v$v is ${if (op.isEmpty) "of unknown provenance" else op}")
+      allowedOps.foreach { ok =>
+        if (!ok(op)) conflict(s"interim commit v$v ($op) is not composable " +
+          "with this maintenance rewrite")
+      }
       ourBuckets.foreach { mine =>
         val prevPaths = prev.files.map(_.path).toSet
         val curPaths = s.files.map(_.path).toSet
@@ -356,7 +361,8 @@ class LakeTable(val spark: SparkSession, val root: String) {
     * no-op replay and this writer's staged files become vacuum-able
     * orphans). */
   private def publishOptimistic(base0: Snapshot, build: Snapshot => Snapshot,
-      ourBuckets: Option[Set[Int]], replayKey: Option[(String, Long)]): Snapshot = {
+      ourBuckets: Option[Set[Int]], replayKey: Option[(String, Long)],
+      allowedOps: Option[Set[String]] = None): Snapshot = {
     var base = base0
     var attempt = build(base)
     var tries = 0
@@ -371,7 +377,7 @@ class LakeTable(val spark: SparkSession, val root: String) {
             catch { case scala.util.control.NonFatal(_) => throw e }
           for ((cp, b) <- replayKey)
             if (head.commits.get(cp).exists(_ >= b)) return head.copy(lineage = None)
-          rebaseCheck(base, head, ourBuckets)
+          rebaseCheck(base, head, ourBuckets, allowedOps)
           System.err.println(s"[lake-occ] rebasing onto v${head.version} (attempt $tries)")
           base = head
           attempt = build(base)
@@ -379,6 +385,28 @@ class LakeTable(val spark: SparkSession, val root: String) {
     }
     throw new IllegalStateException("unreachable")
   }
+
+  /** Interim ops a FOLDED maintenance rewrite (compact/cluster/zorder)
+    * composes with when it loses the version race: append-only commits —
+    * their files survive the rebase (removal is by PATH, not bucket) and
+    * OVERLAY the folded output, which is stamped with the ORIGINAL base
+    * version as its seq, strictly below any interim commit — plus
+    * metadata-only stats/bloom changes. Everything else (COW merge,
+    * delete/update, another fold, rebucket, rollback, schema change)
+    * rewrites or re-keys state the fold didn't read, and must win. */
+  private val maintenanceComposableOps = Set(
+    "mergeDeltas", "append", "setStatsColumns", "setBloomColumns")
+
+  /** Publish a key-preserving folded rewrite with OCC rebase: racing
+    * ingest (merge-on-read deltas / appends) does NOT abort maintenance
+    * — compaction can run beside live writers. */
+  private def publishMaintenance(cur: Snapshot, removedPaths: Set[String],
+      newFiles: Seq[DataFile], lineage: ObjectNode): Snapshot =
+    publishOptimistic(cur, base => base.copy(version = base.version + 1,
+      manifests = nextManifests(base, f => removedPaths.contains(f.path), newFiles),
+      lineage = Some(lineage)),
+      ourBuckets = None, replayKey = None,
+      allowedOps = Some(maintenanceComposableOps))
 
   /** Data directory for a commit's files — version-tagged for humans,
     * uniquified so two RACING writers staging the same next version
@@ -1504,19 +1532,18 @@ class LakeTable(val spark: SparkSession, val root: String) {
       rows.withColumn("_bucket", bucketCol(cur.keyColumns, cur.nBuckets))
         .repartition(target.size * fpb, col("_bucket"), saltCol(cur.keyColumns, fpb)),
       commitDir, cur.bloomColumns)
-    val newFiles = listCommitFiles(commitDir, cur.version + 1, delta = false)
+    // seq anchored at the BASE version: the folded rows are the state
+    // as of `cur`, so any interim delta commit (seq > cur.version)
+    // surviving an OCC rebase correctly overlays them on read
+    val newFiles = listCommitFiles(commitDir, cur.version, delta = false)
     val durMs = (System.nanoTime() - t0) / 1000000
     System.err.println(s"[lake-compact] buckets=${target.size} removed=${targetFiles.size} durMs=$durMs")
-
-    val next = cur.copy(version = cur.version + 1,
-      manifests = nextManifests(cur, f => target.contains(f.bucket), newFiles),
-      lineage = Some(lineageNode("compact", Map(
+    publishMaintenance(cur, targetFiles.map(_.path).toSet, newFiles,
+      lineageNode("compact", Map(
         "buckets" -> target.size.toString,
         "removedFiles" -> targetFiles.size.toString,
         "newFiles" -> newFiles.size.toString,
-        "durationMs" -> durMs.toString))))
-    writeSnapshot(next)
-    next
+        "durationMs" -> durMs.toString)))
   }
 
   /** CLUSTER maintenance commit: rewrite the targeted buckets (default
@@ -1552,20 +1579,18 @@ class LakeTable(val spark: SparkSession, val root: String) {
         .repartitionByRange(target.size * fpb, layout: _*)
         .sortWithinPartitions(layout: _*),
       commitDir, cur.bloomColumns)
-    val newFiles = listCommitFiles(commitDir, cur.version + 1, delta = false)
+    // base-anchored seq: see compact()
+    val newFiles = listCommitFiles(commitDir, cur.version, delta = false)
     val durMs = (System.nanoTime() - t0) / 1000000
     System.err.println(s"[lake-cluster] buckets=${target.size} cols=${columns.mkString(",")} " +
       s"removed=${targetFiles.size} new=${newFiles.size} durMs=$durMs")
-    val next = cur.copy(version = cur.version + 1,
-      manifests = nextManifests(cur, f => target.contains(f.bucket), newFiles),
-      lineage = Some(lineageNode("cluster", Map(
+    publishMaintenance(cur, targetFiles.map(_.path).toSet, newFiles,
+      lineageNode("cluster", Map(
         "columns" -> columns.mkString(","),
         "buckets" -> target.size.toString,
         "removedFiles" -> targetFiles.size.toString,
         "newFiles" -> newFiles.size.toString,
-        "durationMs" -> durMs.toString))))
-    writeSnapshot(next)
-    next
+        "durationMs" -> durMs.toString)))
   }
 
   /** Z-ORDER maintenance commit: like [[cluster]], but rows are laid
@@ -1623,21 +1648,19 @@ class LakeTable(val spark: SparkSession, val root: String) {
           .sortWithinPartitions(col("_bucket"), col("_z"))
           .drop("_z"),
         commitDir, cur.bloomColumns)
-      val newFiles = listCommitFiles(commitDir, cur.version + 1, delta = false)
+      // base-anchored seq: see compact()
+      val newFiles = listCommitFiles(commitDir, cur.version, delta = false)
       val durMs = (System.nanoTime() - t0) / 1000000
       System.err.println(s"[lake-zorder] buckets=${target.size} cols=${columns.mkString(",")} " +
         s"removed=${targetFiles.size} new=${newFiles.size} durMs=$durMs")
-      val next = cur.copy(version = cur.version + 1,
-        manifests = nextManifests(cur, f => target.contains(f.bucket), newFiles),
-        lineage = Some(lineageNode("zorder", Map(
+      publishMaintenance(cur, targetFiles.map(_.path).toSet, newFiles,
+        lineageNode("zorder", Map(
           "columns" -> columns.mkString(","),
           "bits" -> bits.toString,
           "buckets" -> target.size.toString,
           "removedFiles" -> targetFiles.size.toString,
           "newFiles" -> newFiles.size.toString,
-          "durationMs" -> durMs.toString))))
-      writeSnapshot(next)
-      next
+          "durationMs" -> durMs.toString)))
     } finally rows.unpersist()
   }
 

@@ -115,6 +115,45 @@ class LakeConcurrencySpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(t.read().count() == 10)
   }
 
+  test("compaction races ingest: rebase keeps interim deltas overlaying the folded base") {
+    val t = newTable()
+    t.append(rows(0, 20), "seed", 0L) // v1
+    t.mergeDeltas(deltas(0, 5, "A"), "cp-a", 0L) // v2: delta files
+    val t2 = new LakeTable(spark, t.root)
+    // a delta batch lands in compaction's race window (ids 3..7 overlap
+    // the folded keys): maintenance must NOT abort live ingest — it
+    // rebases, and the interim deltas (higher seq) overlay its folded
+    // base (seq anchored at the compaction's base version)
+    t.preCommitHook = () => { t2.mergeDeltas(deltas(3, 8, "B"), "cp-b", 0L); () }
+    val snap = t.compact()
+    assert(snap.version == 4)
+    val got = names(t)
+    assert(got.size == 20)
+    assert(got(1L) == "A-1", "folded value survives")
+    assert(got(4L) == "B-4" && got(7L) == "B-7",
+      "interim deltas committed after the fold's base must win")
+    assert(snap.files.filter(_.delta).nonEmpty &&
+      snap.files.filter(_.delta).forall(_.seq == 3),
+      "only the interim commit's delta files remain")
+    assert(snap.files.filterNot(_.delta).forall(_.seq <= 2),
+      "folded base carries the base version's seq, below the interim deltas")
+  }
+
+  test("maintenance vs a COW rewrite in the window: compaction aborts, state intact") {
+    val t = newTable()
+    t.append(rows(0, 20), "seed", 0L)
+    t.mergeDeltas(deltas(0, 5, "A"), "cp-a", 0L)
+    val t2 = new LakeTable(spark, t.root)
+    t.preCommitHook = () => { t2.merge(deltas(10, 11, "B"), "cp-b", 0L); () }
+    val ex = intercept[ConcurrentCommitException] { t.compact() }
+    assert(ex.getMessage.contains("not composable"))
+    assert(names(t)(10L) == "B-10" && names(t)(1L) == "A-1")
+    // the remediation: re-run against the new head
+    val snap = t.compact()
+    assert(snap.files.forall(!_.delta))
+    assert(names(t)(1L) == "A-1" && t.read().count() == 20)
+  }
+
   test("a rebucket in the race window always aborts the loser") {
     val t = newTable()
     t.append(rows(0, 20), "seed", 0L)
