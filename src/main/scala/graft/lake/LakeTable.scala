@@ -105,7 +105,10 @@ class LakeTable(val spark: SparkSession, val root: String) {
       bloomColumns: Seq[String] = Nil,
       /** Commit wall-clock (epoch ms), stamped at publish; -1 for
         * snapshots written before the field existed. */
-      committedAtMs: Long = -1L) {
+      committedAtMs: Long = -1L,
+      /** Free-form table properties carried commit to commit (e.g. the
+        * stored z-order cut points enabling incremental re-zorder). */
+      properties: Map[String, String] = Map.empty) {
     def files: Seq[DataFile] = manifests.flatMap(_.files)
   }
 
@@ -179,7 +182,12 @@ class LakeTable(val spark: SparkSession, val root: String) {
           node.get("bloomColumns").elements().asScala.map(_.asText()).toSeq
         else Nil,
       committedAtMs =
-        if (node.has("committedAtMs")) node.get("committedAtMs").asLong() else -1L)
+        if (node.has("committedAtMs")) node.get("committedAtMs").asLong() else -1L,
+      properties =
+        if (node.has("properties"))
+          node.get("properties").fields().asScala
+            .map(e => e.getKey -> e.getValue.asText()).toMap
+        else Map.empty)
   }
 
   def currentSnapshot: Option[Snapshot] = currentVersion.map(snapshot)
@@ -254,6 +262,10 @@ class LakeTable(val spark: SparkSession, val root: String) {
     }
     if (s.bloomColumns.nonEmpty) {
       val bc = node.putArray("bloomColumns"); s.bloomColumns.foreach(bc.add)
+    }
+    if (s.properties.nonEmpty) {
+      val pr = node.putObject("properties")
+      s.properties.toSeq.sortBy(_._1).foreach { case (k, v) => pr.put(k, v) }
     }
     if (lineage != null) node.set[ObjectNode]("lineage", lineage.deepCopy())
 
@@ -401,10 +413,12 @@ class LakeTable(val spark: SparkSession, val root: String) {
     * ingest (merge-on-read deltas / appends) does NOT abort maintenance
     * — compaction can run beside live writers. */
   private def publishMaintenance(cur: Snapshot, removedPaths: Set[String],
-      newFiles: Seq[DataFile], lineage: ObjectNode): Snapshot =
+      newFiles: Seq[DataFile], lineage: ObjectNode,
+      propsUpdate: Map[String, String] = Map.empty): Snapshot =
     publishOptimistic(cur, base => base.copy(version = base.version + 1,
       manifests = nextManifests(base, f => removedPaths.contains(f.path), newFiles),
-      lineage = Some(lineage)),
+      lineage = Some(lineage),
+      properties = base.properties ++ propsUpdate),
       ourBuckets = None, replayKey = None,
       allowedOps = Some(maintenanceComposableOps))
 
@@ -1605,9 +1619,19 @@ class LakeTable(val spark: SparkSession, val root: String) {
     * multi-dimensional version of the cluster() win at 10^10 rows.
     * Columns must be numeric / date / timestamp (quantiles need an
     * order-preserving double mapping). Logical state, bucket routing
-    * and the change feed are unaffected (key-preserving commit). */
+    * and the change feed are unaffected (key-preserving commit).
+    *
+    * The quantile cuts are persisted as the `zorder.spec` table
+    * property; `reuseCuts = true` skips the sketch pass and reuses the
+    * stored cuts — the INCREMENTAL path for re-zordering hot buckets
+    * after ingest (`zorder(cols, buckets = Some(hot), reuseCuts =
+    * true)`): layout quality only needs cuts that roughly track the
+    * distribution, and files z-ordered under the same cuts stay
+    * mutually comparable across commits. Requires a stored spec with
+    * the same columns and bits (anything else throws — silently
+    * re-sketching would mix two curve geometries). */
   def zorder(columns: Seq[String], buckets: Option[Set[Int]] = None,
-      bits: Int = 8): Snapshot = {
+      bits: Int = 8, reuseCuts: Boolean = false): Snapshot = {
     val t0 = System.nanoTime()
     val cur = currentSnapshot.getOrElse(sys.error(s"no table at $root"))
     require(columns.size >= 2 && columns.size <= 6,
@@ -1628,15 +1652,26 @@ class LakeTable(val spark: SparkSession, val root: String) {
     val rows = snapshotRows(cur, targetFiles)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     try {
-      // equal-frequency cuts per dimension (one GK-sketch pass)
-      val statDf = rows.select(columns.indices.map(i =>
-        asDouble(columns(i)).as(s"_z$i")): _*)
-      val nCuts = (1 << bits) - 1
-      val probs = (1 to nCuts).map(_.toDouble / (nCuts + 1)).toArray
-      val cuts: Array[Array[Double]] = columns.indices.map { i =>
-        statDf.stat.approxQuantile(s"_z$i", probs, 0.005)
-          .distinct.sorted.toArray
-      }.toArray
+      val cuts: Array[Array[Double]] =
+        if (reuseCuts) {
+          val stored = cur.properties.get("zorder.spec").map(parseZorderSpec)
+            .getOrElse(sys.error("zorder(reuseCuts=true): no stored zorder.spec " +
+              "on this table — run a full zorder(columns) first"))
+          require(stored._1 == columns && stored._2 == bits,
+            s"zorder(reuseCuts=true): stored spec is over (${stored._1.mkString(",")}, " +
+              s"bits=${stored._2}) but (${columns.mkString(",")}, bits=$bits) was requested")
+          stored._3
+        } else {
+          // equal-frequency cuts per dimension (one GK-sketch pass)
+          val statDf = rows.select(columns.indices.map(i =>
+            asDouble(columns(i)).as(s"_z$i")): _*)
+          val nCuts = (1 << bits) - 1
+          val probs = (1 to nCuts).map(_.toDouble / (nCuts + 1)).toArray
+          columns.indices.map { i =>
+            statDf.stat.approxQuantile(s"_z$i", probs, 0.005)
+              .distinct.sorted.toArray
+          }.toArray
+        }
       val zc = graft.functions.ZValue.z(columns.map(asDouble), cuts, bits).as("_z")
       val commitDir = newCommitDir("zorder", cur.version + 1)
       val fpb = filesPerBucket(target.size)
@@ -1657,11 +1692,34 @@ class LakeTable(val spark: SparkSession, val root: String) {
         lineageNode("zorder", Map(
           "columns" -> columns.mkString(","),
           "bits" -> bits.toString,
+          "cutsReused" -> reuseCuts.toString,
           "buckets" -> target.size.toString,
           "removedFiles" -> targetFiles.size.toString,
           "newFiles" -> newFiles.size.toString,
-          "durationMs" -> durMs.toString)))
+          "durationMs" -> durMs.toString)),
+        propsUpdate =
+          if (reuseCuts) Map.empty
+          else Map("zorder.spec" -> zorderSpecJson(columns, bits, cuts)))
     } finally rows.unpersist()
+  }
+
+  /** `zorder.spec` table property: `{"columns":[…],"bits":n,"cuts":[[…],…]}`. */
+  private def zorderSpecJson(columns: Seq[String], bits: Int,
+      cuts: Array[Array[Double]]): String = {
+    val node = mapper.createObjectNode()
+    val cs = node.putArray("columns"); columns.foreach(cs.add)
+    node.put("bits", bits)
+    val ca = node.putArray("cuts")
+    cuts.foreach { dim => val a = ca.addArray(); dim.foreach(a.add) }
+    mapper.writeValueAsString(node)
+  }
+
+  private def parseZorderSpec(js: String): (Seq[String], Int, Array[Array[Double]]) = {
+    val node = mapper.readTree(js)
+    (node.get("columns").elements().asScala.map(_.asText()).toSeq,
+      node.get("bits").asInt(),
+      node.get("cuts").elements().asScala
+        .map(_.elements().asScala.map(_.asDouble()).toArray).toArray)
   }
 
   /** `DELETE FROM ... WHERE pred` as a predicate-scoped copy-on-write
@@ -1678,7 +1736,10 @@ class LakeTable(val spark: SparkSession, val root: String) {
     * SQL `DELETE` semantics: rows where the predicate evaluates NULL
     * are KEPT. [[changes]] across the commit reports the removed keys
     * as `delete` rows (touched-bucket diff tier — rewritten buckets
-    * only). */
+    * only). Concurrency: a lost version race rebases when interim
+    * commits touched disjoint buckets (write-serializable isolation —
+    * the predicate applies to the BASE version's state, concurrent
+    * inserts elsewhere survive); an overlap aborts. */
   def deleteWhere(pred: org.apache.spark.sql.Column): Snapshot =
     rewriteWhere(pred, None)
 
@@ -1759,19 +1820,29 @@ class LakeTable(val spark: SparkSession, val root: String) {
     val durMs = (System.nanoTime() - t0) / 1000000
     System.err.println(s"[lake-$opName] buckets=${rewriteBuckets.size}/${cur.nBuckets} " +
       s"files=$rewrittenCount/$total matched=${longOf("matched")} durMs=$durMs")
-    val next = cur.copy(version = cur.version + 1,
-      manifests = nextManifests(cur, removed, newFiles),
-      lineage = Some(lineageNode(opName, Map(
-        "predicate" -> pred.toString,
-        "matchedRows" -> longOf("matched").toString,
-        "scannedRows" -> longOf("scanned").toString,
-        "candidateBuckets" -> rewriteBuckets.size.toString,
-        "prunedFiles" -> (total - rewrittenCount).toString,
-        "rewrittenFiles" -> rewrittenCount.toString,
-        "newFiles" -> newFiles.size.toString,
-        "durationMs" -> durMs.toString))))
-    writeSnapshot(next)
-    next
+    val lineage = lineageNode(opName, Map(
+      "predicate" -> pred.toString,
+      "matchedRows" -> longOf("matched").toString,
+      "scannedRows" -> longOf("scanned").toString,
+      "candidateBuckets" -> rewriteBuckets.size.toString,
+      "prunedFiles" -> (total - rewrittenCount).toString,
+      "rewrittenFiles" -> rewrittenCount.toString,
+      "newFiles" -> newFiles.size.toString,
+      "durationMs" -> durMs.toString))
+    // OCC: a lost version race rebases in O(metadata) when every interim
+    // commit touched buckets DISJOINT from the rewrite set (an overlap
+    // is the lost-update anomaly and aborts). Isolation is
+    // write-serializable, the Delta-lake default for exactly this race:
+    // the predicate applies to the table state as of this commit's BASE
+    // version, so rows a racing writer inserted into untouched buckets
+    // survive even if they match the predicate — the delete/update
+    // serializes logically BEFORE the concurrent insert. The removal
+    // predicate stays sound on the new head because the rebase check
+    // guarantees no interim commit touched `rewriteBuckets`.
+    publishOptimistic(cur, base => base.copy(version = base.version + 1,
+      manifests = nextManifests(base, removed, newFiles.map(_.copy(seq = base.version + 1))),
+      lineage = Some(lineage)),
+      Some(rewriteBuckets), None)
   }
 
   /** Re-bucket the table under a new bucket count as ONE maintenance

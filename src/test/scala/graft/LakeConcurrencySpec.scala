@@ -154,6 +154,49 @@ class LakeConcurrencySpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(names(t)(1L) == "A-1" && t.read().count() == 20)
   }
 
+  test("deleteWhere races disjoint-bucket ingest: rebase, write-serializable semantics") {
+    val t = newTable()
+    // seed ONLY keys living in one bucket, so the rewrite set is that
+    // single bucket and a racing insert elsewhere is provably disjoint
+    val b = spark.range(0, 200)
+      .select(col("id"), pmod(hash(col("id")), lit(4)).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val seedIds = b.collect { case (id, 0) => id }.toSeq.sorted.take(6)
+    val idB = b.collectFirst { case (id, bk) if bk != 0 => id }.get
+    t.append(rows(seedIds.head, seedIds.head + 1, "s")
+      .unionAll(seedIds.tail.map(i => rows(i, i + 1, "s")).reduce(_ unionAll _)),
+      "seed", 0L) // v1
+    val t2 = new LakeTable(spark, t.root)
+    // the interim row MATCHES the delete predicate (ts < 1000) but lands
+    // in a bucket the rewrite never read: under write-serializable
+    // isolation the delete applies to its BASE version's state, so the
+    // concurrently-inserted row must survive the rebase
+    t.preCommitHook = () => { t2.merge(deltas(idB, idB + 1, "B"), "cp-b", 0L); () }
+    val snap = t.deleteWhere(col("ts") < 1000)
+    assert(snap.version == 3, "loser must rebase onto the interim head")
+    val got = names(t)
+    assert(got.keySet == Set(idB), "all seeded rows deleted; racing insert survives")
+    assert(got(idB) == "B-" + idB)
+  }
+
+  test("updateWhere races an overlapping-bucket merge: abort, state intact, retry succeeds") {
+    val t = newTable()
+    t.append(rows(0, 20), "seed", 0L)
+    val t2 = new LakeTable(spark, t.root)
+    // no stats columns → every bucket is a rewrite candidate → ANY
+    // interim data commit overlaps → genuine lost-update, must abort
+    t.preCommitHook = () => { t2.merge(deltas(7, 8, "B"), "cp-b", 0L); () }
+    val ex = intercept[ConcurrentCommitException] {
+      t.updateWhere(col("id") === 3, Map("name" -> lit("patched")))
+    }
+    assert(ex.getMessage.contains("touched bucket"))
+    assert(names(t)(7L) == "B-7" && names(t)(3L) == "n-3")
+    // remediation: re-run against the new head
+    t.updateWhere(col("id") === 3, Map("name" -> lit("patched")))
+    val got = names(t)
+    assert(got(3L) == "patched" && got(7L) == "B-7" && got.size == 20)
+  }
+
   test("a rebucket in the race window always aborts the loser") {
     val t = newTable()
     t.append(rows(0, 20), "seed", 0L)

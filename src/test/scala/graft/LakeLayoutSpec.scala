@@ -210,6 +210,52 @@ class LakeLayoutSpec extends AnyFunSuite with SparkSessionTestWrapper {
     } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
   }
 
+  test("zorder(reuseCuts): incremental hot-bucket re-zorder skips the sketch pass") {
+    val t = new LakeTable(spark, Scratch.dir("lake-zorder-inc"))
+    val sch = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("x", LongType, nullable = true),
+      StructField("y", LongType, nullable = true)))
+    t.create(sch, Seq("id"), nBuckets = 2, statsColumns = Seq("x", "y"))
+    def mkRows(lo: Long, hi: Long) = spark.range(lo, hi).select(col("id"),
+      ((col("id") * 2654435761L) % 10000).as("x"),
+      ((col("id") * 2246822519L) % 10000).as("y"))
+    t.append(mkRows(0, 8000), "c0", 0L)
+
+    // reuse before any full zorder: explicit error, not a silent sketch
+    val noSpec = intercept[RuntimeException] {
+      t.zorder(Seq("x", "y"), reuseCuts = true)
+    }
+    assert(noSpec.getMessage.contains("no stored zorder.spec"))
+
+    t.zorder(Seq("x", "y"))
+    val spec = t.currentSnapshot.get.properties.get("zorder.spec")
+    assert(spec.exists(_.contains("\"cuts\"")), "cut points persisted as a table property")
+
+    // fresh ingest makes bucket 0 'hot'; re-zorder ONLY that bucket
+    // under the stored cuts — no quantile pass, other bucket untouched
+    t.append(mkRows(8000, 12000), "c1", 0L)
+    val before = t.currentSnapshot.get
+    val keptB1 = before.files.filter(_.bucket == 1).map(_.path).toSet
+    val snap = t.zorder(Seq("x", "y"), buckets = Some(Set(0)), reuseCuts = true)
+    assert(snap.lineage.exists(_.get("cutsReused").asText() == "true"))
+    assert(snap.files.filter(_.bucket == 1).map(_.path).toSet == keptB1,
+      "cold bucket's files must carry over untouched")
+    assert(snap.files.filter(_.bucket == 0).map(_.path).toSet
+      .intersect(before.files.filter(_.bucket == 0).map(_.path).toSet).isEmpty,
+      "hot bucket fully re-laid-out")
+    assert(snap.properties.get("zorder.spec") == spec, "stored cuts unchanged by reuse")
+    assert(t.read().count() == 12000)
+    val pred = col("y") >= 4000L && col("y") < 4500L
+    assert(t.readWhere(pred).count() == mkRows(0, 12000).filter(pred).count())
+
+    // a mismatched request must not silently mix curve geometries
+    val bad = intercept[IllegalArgumentException] {
+      t.zorder(Seq("y", "x"), reuseCuts = true)
+    }
+    assert(bad.getMessage.contains("stored spec"))
+  }
+
   test("cluster() folds outstanding deltas (it is also a compaction)") {
     val t = new LakeTable(spark, Scratch.dir("lake-cluster-mor"))
     t.create(schema, Seq("id"), nBuckets = 2, statsColumns = Seq("v"))
