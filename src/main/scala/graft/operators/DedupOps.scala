@@ -297,15 +297,26 @@ object DedupOps {
     *
     * Returns (id, cluster_id) for every id appearing in `pairs`. */
   def duplicateClusters(pairs: DataFrame, aCol: String, bCol: String,
-      maxIters: Int = 50): DataFrame = {
+      maxIters: Int = 50): DataFrame =
+    propagateClusters(pairs, aCol, bCol, maxIters)._1
+
+  private[graft] def propagateClusters(pairs: DataFrame, aCol: String,
+      bCol: String, maxIters: Int): (DataFrame, Int) = {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER
     val edges = pairs.select(col(aCol).as("u"), col(bCol).as("v"))
       .unionByName(pairs.select(col(bCol).as("u"), col(aCol).as("v")))
       .distinct().persist(lvl)
+    // eager localCheckpoint per round TRUNCATES THE LOGICAL PLAN — each
+    // round references the previous relation 2×, so under plain persist
+    // the plan (analyzed every action; caching only short-circuits the
+    // physical side) doubles per round and the DRIVER's catalyst pass
+    // goes exponential on long chains. The standard iterative-graph
+    // pattern; swap for a reliable checkpoint dir when executor loss
+    // mid-algorithm must be survivable.
     var labels = edges.groupBy(col("u").as("id"))
       .agg(min(col("v")).as("mn"))
       .select(col("id"), least(col("id"), col("mn")).as("cluster_id"))
-      .persist(lvl)
+      .localCheckpoint(true)
     var converged = false
     var i = 0
     while (!converged && i < maxIters) {
@@ -316,17 +327,86 @@ object DedupOps {
         .select(col("id"),
           least(col("cluster_id"), coalesce(col("nbl"), col("cluster_id")))
             .as("cluster_id"))
-        .persist(lvl)
+        .localCheckpoint(true)
       converged = next
         .join(labels.select(col("id"), col("cluster_id").as("old")), "id")
         .filter(col("cluster_id") =!= col("old")).isEmpty
-      labels.unpersist()
       labels = next
       i += 1
     }
     edges.unpersist()
     require(converged, s"duplicateClusters: not converged after $maxIters rounds")
-    labels
+    (labels, i)
+  }
+
+  /** [[duplicateClusters]] via alternating LARGE-STAR / SMALL-STAR edge
+    * contraction (Kiveris et al., "Connected Components in MapReduce
+    * and Beyond", SoCC'14) — same (id, cluster_id) output, but the
+    * round count is O(log² n) in the worst case instead of the cluster
+    * DIAMETER: min-label propagation moves the label one hop per round,
+    * so a pathological chain-shaped cluster (near-dup "drift" chains,
+    * where doc i matches only doc i±1) of length d costs d rounds;
+    * star contraction re-wires every node toward its neighborhood
+    * minimum each round, collapsing chains exponentially. Each round
+    * is two self-joins on the (shrinking) edge relation — the banded
+    * pair set, never the corpus. Edges are kept oriented high→low:
+    *  - large-star: each node attaches its LARGER neighbors to the
+    *    minimum of its closed neighborhood;
+    *  - small-star: each node attaches its smaller-or-equal neighbors
+    *    (and itself) to that minimum.
+    * The fixpoint is a forest of min-rooted stars, read off directly
+    * as the cluster assignment. Prefer this over [[duplicateClusters]]
+    * when cluster diameters are unbounded; for banded near-dup output
+    * (per-bucket cliques, diameter 2–4) the simpler propagation wins
+    * on fixed per-round cost. */
+  def duplicateClustersStar(pairs: DataFrame, aCol: String, bCol: String,
+      maxIters: Int = 50): DataFrame =
+    starClusters(pairs, aCol, bCol, maxIters)._1
+
+  private[graft] def starClusters(pairs: DataFrame, aCol: String,
+      bCol: String, maxIters: Int): (DataFrame, Int) = {
+    // canonical high→low orientation, self-loops dropped; eager
+    // localCheckpoint per round truncates the plan (each round
+    // references the previous edge relation FOUR times — two stars ×
+    // symmetrized adjacency — so un-truncated lineage is 4^rounds)
+    var edges = pairs
+      .select(greatest(col(aCol), col(bCol)).as("u"),
+        least(col(aCol), col(bCol)).as("v"))
+      .filter(col("u") =!= col("v")).distinct().localCheckpoint(true)
+    // large-star over the SYMMETRIC adjacency: node u's larger
+    // neighbors re-attach to m = min(Γ(u) ∪ {u}); output stays high→low
+    def largeStar(e: DataFrame): DataFrame = {
+      val adj = e.unionByName(e.select(col("v").as("u"), col("u").as("v")))
+      val nbrMin = adj.groupBy("u").agg(min("v").as("mn"))
+      adj.join(nbrMin, "u")
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), least(col("u"), col("mn")).as("v"))
+        .filter(col("u") =!= col("v")).distinct()
+    }
+    // small-star: with edges high→low, u's ≤-neighbors are exactly its
+    // outgoing v's; they and u itself re-attach to min(Γ≤(u) ∪ {u})
+    def smallStar(e: DataFrame): DataFrame = {
+      val nbrMin = e.groupBy("u").agg(min("v").as("mn"))
+      val moved = e.join(nbrMin, "u")
+        .select(col("v").as("u"), col("mn").as("v"))
+        .filter(col("u") =!= col("v"))
+      moved.unionByName(nbrMin.select(col("u"), col("mn").as("v"))).distinct()
+    }
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIters) {
+      val next = smallStar(largeStar(edges)).localCheckpoint(true)
+      converged = next.exceptAll(edges).isEmpty && edges.exceptAll(next).isEmpty
+      edges = next
+      i += 1
+    }
+    require(converged, s"duplicateClustersStar: not converged after $maxIters rounds")
+    // fixpoint = min-rooted stars: every member points at its root;
+    // roots appear only on the low side and label themselves
+    val labels = edges.select(col("u").as("id"), col("v").as("cluster_id"))
+      .unionByName(
+        edges.select(col("v").as("id"), col("v").as("cluster_id")).distinct())
+    (labels, i)
   }
 
   /** DuckDB oracle for [[duplicateClusters]] over

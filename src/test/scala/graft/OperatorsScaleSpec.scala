@@ -288,4 +288,37 @@ class OperatorsScaleSpec extends AnyFunSuite with SparkSessionTestWrapper {
     val labels = DedupOps.duplicateClusters(chain, "id_a", "id_b").collect()
     assert(labels.length == 8 && labels.forall(_.getLong(1) == 1L))
   }
+
+  test("duplicateClustersStar: same labels, O(log^2 n) rounds on a pathological chain") {
+    import spark.implicits._
+    def toMap(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+    // parity on a mixed graph: chain + clique + disjoint pair, ids
+    // deliberately NOT in id_a < id_b order everywhere
+    val mixed = Seq((2L, 1L), (2L, 3L), (10L, 11L), (7L, 5L),
+      (20L, 21L), (22L, 20L), (21L, 22L)).toDF("id_a", "id_b")
+    assert(toMap(DedupOps.duplicateClustersStar(mixed, "id_a", "id_b"))
+      == toMap(DedupOps.duplicateClusters(mixed, "id_a", "id_b")))
+
+    // deterministic pseudo-random graph: 60 nodes, 45 hashed edges
+    val rand = (0 until 45).map { i =>
+      val a = (i * 2654435761L) % 60; val b = (i * 2246822519L) % 60
+      (a, if (a == b) (b + 1) % 60 else b)
+    }.filter(p => p._1 != p._2).toDF("id_a", "id_b")
+    assert(toMap(DedupOps.duplicateClustersStar(rand, "id_a", "id_b"))
+      == toMap(DedupOps.propagateClusters(rand, "id_a", "id_b", 50)._1))
+
+    // the scale claim: a length-20 drift chain costs propagation ~one
+    // round per hop (label moves one edge per round) but star
+    // contraction collapses it exponentially
+    val drift = (1L until 21L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val (starLabels, starRounds) = DedupOps.starClusters(drift, "id_a", "id_b", 50)
+    val (propLabels, propRounds) = DedupOps.propagateClusters(drift, "id_a", "id_b", 50)
+    assert(toMap(starLabels) == toMap(propLabels))
+    assert(starLabels.collect().forall(_.getLong(1) == 1L))
+    assert(starRounds <= 8, s"star contraction took $starRounds rounds")
+    assert(propRounds > starRounds,
+      s"chain should separate the algorithms (prop=$propRounds star=$starRounds)")
+  }
 }
