@@ -611,6 +611,33 @@ object SparkEntry {
       table.readWhere(col("value") >= 100.0)
         .select("event_id", "user_id", "event_type", "value")
     }),
+    "cdc_lake_zorder" -> ((s, dir) => {
+      // Z-ORDER maintenance judged end to end: Morton layout over two
+      // decorrelated columns (user_id, value) makes range predicates on
+      // EITHER prunable (lexicographic layout only tightens the leading
+      // column); the second commit exercises the INCREMENTAL path —
+      // re-zorder under the cuts stored by the first pass (zorder.spec
+      // table property), no fresh quantile sketch. The gate reads a
+      // two-sided slab back through readWhere, so pruning soundness is
+      // value-judged against the plain-SQL oracle.
+      val cols = Seq("event_id", "user_id", "value")
+      // %16 slices + 6-bit curve: the mod-class structure and the
+      // stored-cuts reuse semantics are size-invariant, so the gate
+      // stays cheap at any sf (layout QUALITY is spec-measured)
+      def slice(m: Int) = t(s, dir, "events")
+        .filter(col("event_id") % 16 === m).select(cols.map(col): _*)
+      val tmp = graft.Scratch.dir("lake-zorder-gate")
+      val table = new graft.lake.LakeTable(s, tmp)
+      val ev1 = slice(1)
+      table.create(ev1.schema, Seq("event_id"), nBuckets = 2,
+        statsColumns = Seq("user_id", "value"))
+      table.append(ev1, "a", 0L)
+      table.zorder(Seq("user_id", "value"), bits = 6)
+      table.append(slice(2), "b", 0L)
+      table.zorder(Seq("user_id", "value"), bits = 6, reuseCuts = true)
+      table.readWhere(col("value") >= 50.0 && col("user_id") <= 100L)
+        .select(cols.map(col): _*)
+    }),
     "cdc_lake_delete" -> ((s, dir) => {
       // predicate-scoped DELETE + UPDATE maintenance commits (the purge /
       // redaction shapes): deleteWhere drops the matching rows in a
@@ -1047,6 +1074,16 @@ object SparkEntry {
       // duplicate cluster; the oracle closes the identical pair SQL
       // transitively with a recursive CTE
       DedupOps.duplicateClusters(
+        DedupOps.minHashPortablePairs(t(s, dir, "documents"), "doc_id", "text",
+          shingleN = 5, numHashes = 16, threshold = 0.8),
+        "id_a", "id_b")),
+    "doc_dup_clusters_star" -> ((s, dir) =>
+      // same cluster semantics via alternating large-star/small-star
+      // contraction (Kiveris et al. — O(log^2 n) rounds instead of the
+      // cluster DIAMETER, for unbounded drift-chain clusters); shares
+      // the propagation gate's recursive-CTE oracle verbatim, so both
+      // algorithms are judged against the identical canonical labeling
+      DedupOps.duplicateClustersStar(
         DedupOps.minHashPortablePairs(t(s, dir, "documents"), "doc_id", "text",
           shingleN = 5, numHashes = 16, threshold = 0.8),
         "id_a", "id_b")),
@@ -1547,6 +1584,10 @@ object SparkEntry {
     "cdc_lake_cluster" ->
       """SELECT event_id, user_id, event_type, value
         |FROM events WHERE event_id % 4 = 0 AND value >= 100.0""".stripMargin,
+    "cdc_lake_zorder" ->
+      """SELECT event_id, user_id, value
+        |FROM events WHERE event_id % 16 IN (1, 2)
+        |  AND value >= 50.0 AND user_id <= 100""".stripMargin,
     "cdc_lake_delete" ->
       // delete drops its matching rows; update rewrites the segment's
       // name — NOT(delete-pred) mirrors the engine's keep-NULL semantics
@@ -1628,6 +1669,9 @@ object SparkEntry {
       DedupOps.minHashPortableOracleSql("documents", "doc_id",
         shingleN = 5, numHashes = 16, threshold = 0.8),
     "doc_dup_clusters" ->
+      DedupOps.duplicateClustersOracleSql("documents", "doc_id",
+        shingleN = 5, numHashes = 16, threshold = 0.8),
+    "doc_dup_clusters_star" ->
       DedupOps.duplicateClustersOracleSql("documents", "doc_id",
         shingleN = 5, numHashes = 16, threshold = 0.8),
     "doc_simhash" ->

@@ -1662,15 +1662,14 @@ class LakeTable(val spark: SparkSession, val root: String) {
               s"bits=${stored._2}) but (${columns.mkString(",")}, bits=$bits) was requested")
           stored._3
         } else {
-          // equal-frequency cuts per dimension (one GK-sketch pass)
+          // equal-frequency cuts, ALL dimensions in one GK-sketch pass
           val statDf = rows.select(columns.indices.map(i =>
             asDouble(columns(i)).as(s"_z$i")): _*)
           val nCuts = (1 << bits) - 1
           val probs = (1 to nCuts).map(_.toDouble / (nCuts + 1)).toArray
-          columns.indices.map { i =>
-            statDf.stat.approxQuantile(s"_z$i", probs, 0.005)
-              .distinct.sorted.toArray
-          }.toArray
+          statDf.stat
+            .approxQuantile(columns.indices.map(i => s"_z$i").toArray, probs, 0.005)
+            .map(_.distinct.sorted)
         }
       val zc = graft.functions.ZValue.z(columns.map(asDouble), cuts, bits).as("_z")
       val commitDir = newCommitDir("zorder", cur.version + 1)

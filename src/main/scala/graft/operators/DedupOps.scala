@@ -394,10 +394,18 @@ object DedupOps {
     }
     var converged = false
     var i = 0
+    var prevCount = edges.count()
     while (!converged && i < maxIters) {
+      val t0 = System.nanoTime()
       val next = smallStar(largeStar(edges)).localCheckpoint(true)
-      converged = next.exceptAll(edges).isEmpty && edges.exceptAll(next).isEmpty
+      // cheap-first convergence: both relations are distinct edge sets,
+      // so equal counts + empty one-sided difference ⇒ set equality
+      val nextCount = next.count()
+      converged = nextCount == prevCount && next.exceptAll(edges).isEmpty
+      System.err.println(s"[dedup-star] round=${i + 1} edges=$nextCount " +
+        s"ms=${(System.nanoTime() - t0) / 1000000}")
       edges = next
+      prevCount = nextCount
       i += 1
     }
     require(converged, s"duplicateClustersStar: not converged after $maxIters rounds")
