@@ -712,6 +712,25 @@ object SparkEntry {
       s.createDataFrame(new java.util.ArrayList(
         scala.jdk.CollectionConverters.BufferHasAsJava(buf).asJava), outSchema)
     }),
+    "cdc_lake_sql_write" -> ((s, dir) => {
+      // the batch WRITER surface end to end: df.write.format("graft-lake")
+      // creates the table on first save (keys option), mode("overwrite")
+      // is an atomic single-commit full refresh (the backfill shape —
+      // changes() across it is a full-state diff), mode("append") lands
+      // on the refreshed base. Final state = %7 in (1,2,3): the slice
+      // written at create time (%7=0) must be GONE after the overwrite,
+      // so the oracle judges the refresh semantics, not just the writes.
+      val cols = Seq("event_id", "user_id", "event_type", "value")
+      def slice(ms: Seq[Int]) = t(s, dir, "events")
+        .filter(col("event_id") % 7 isin (ms.map(m => lit(m)): _*))
+        .select(cols.map(col): _*)
+      val tmp = graft.Scratch.dir("lake-sql-write-gate")
+      slice(Seq(0)).write.format("graft-lake")
+        .option("keys", "event_id").option("nBuckets", "4").save(tmp)
+      slice(Seq(1, 2)).write.format("graft-lake").mode("overwrite").save(tmp)
+      slice(Seq(3)).write.format("graft-lake").mode("append").save(tmp)
+      s.read.format("graft-lake").load(tmp).select(cols.map(col): _*)
+    }),
     "cdc_lake_sql" -> ((s, dir) => {
       // the SQL surface end to end: a lake table exposed via CREATE
       // TEMPORARY VIEW USING graft-lake (HadoopFsRelation over the
@@ -1620,6 +1639,10 @@ object SparkEntry {
         |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
         |FROM events WHERE event_id % 8 = 0 AND value >= 100.0
         |GROUP BY event_type""".stripMargin,
+    "cdc_lake_sql_write" ->
+      // %7=0 was overwritten away; (1,2) survived the refresh; 3 appended
+      """SELECT event_id, user_id, event_type, value
+        |FROM events WHERE event_id % 7 IN (1, 2, 3)""".stripMargin,
     "cdc_lake_changes" -> lakeChangesFeedOracleSql,
     // identical workload and feed; the Spark side differs only in the
     // commit strategy (merge-on-read) and therefore the changes() plan

@@ -14,7 +14,8 @@ import org.apache.spark.sql.graftshim
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{Column, Row}
 import org.apache.spark.sql.sources
-import org.apache.spark.sql.sources.{BaseRelation, DataSourceRegister, Filter, PrunedFilteredScan, RelationProvider, StreamSinkProvider, StreamSourceProvider, TableScan}
+import org.apache.spark.sql.SaveMode
+import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider, DataSourceRegister, Filter, PrunedFilteredScan, RelationProvider, StreamSinkProvider, StreamSourceProvider, TableScan}
 import org.apache.spark.sql.streaming.OutputMode
 import org.apache.spark.sql.types.{IntegerType, StringType, StructField, StructType, TimestampType}
 
@@ -60,8 +61,8 @@ import graft.streaming.CdcPipeline
   * snapshots rejected with the compact() remediation);
   * `view=realtime` forces the fold path even when compacted.
   */
-class LakeDataSource extends RelationProvider with StreamSourceProvider
-    with StreamSinkProvider with DataSourceRegister {
+class LakeDataSource extends RelationProvider with CreatableRelationProvider
+    with StreamSourceProvider with StreamSinkProvider with DataSourceRegister {
   override def shortName(): String = "graft-lake"
 
   private def opt(parameters: Map[String, String], name: String): Option[String] =
@@ -117,6 +118,54 @@ class LakeDataSource extends RelationProvider with StreamSourceProvider
       case other => sys.error(
         s"graft-lake: unknown view '$other' (auto | readOptimized | realtime)")
     }
+  }
+
+  // ------------------------------------------------------ batch write
+
+  /** `df.write.format("graft-lake").mode(...).save(root)` — batch
+    * DataFrame writes of FINAL rows (not CDC envelopes; envelopes go
+    * through the streaming sink or CdcPipeline).
+    *
+    *  - first write to an empty root CREATES the table from the frame's
+    *    schema (`keys` option required; `nBuckets`/`statsColumns`/
+    *    `bloomColumns` optional) and seeds it;
+    *  - `mode("append")` → [[LakeTable.append]];
+    *  - `mode("overwrite")` → [[LakeTable.overwrite]] (atomic full
+    *    refresh, prior versions still time-travelable);
+    *  - `ErrorIfExists` (the `save` default) / `Ignore` follow Spark
+    *    semantics.
+    *
+    * Each write commits under a FRESH commit id by default so repeated
+    * appends append (plain Spark semantics); pass `checkpointId` +
+    * `batchId` options to opt into the lake's idempotent-replay
+    * contract (a replayed (checkpointId, batchId) is a no-op). */
+  override def createRelation(ctx: SQLContext, mode: SaveMode,
+      parameters: Map[String, String], data: DataFrame): BaseRelation = {
+    val table = tableFor(ctx, parameters)
+    val exists = table.currentVersion.isDefined
+    val commitId = opt(parameters, "checkpointId")
+      .getOrElse(s"sql-write-${java.util.UUID.randomUUID().toString.take(8)}")
+    val batchId = opt(parameters, "batchId").map(_.toLong).getOrElse(0L)
+    def csv(name: String): Seq[String] =
+      opt(parameters, name).map(_.split(",").map(_.trim).toSeq).getOrElse(Nil)
+    if (!exists) {
+      val keys = csv("keys")
+      require(keys.nonEmpty,
+        s"graft-lake write: no table at ${table.root} — 'keys' option is " +
+          "required to create one")
+      table.create(data.schema, keys,
+        nBuckets = opt(parameters, "nBuckets").map(_.toInt).getOrElse(32),
+        statsColumns = csv("statsColumns"), bloomColumns = csv("bloomColumns"))
+      table.append(data, commitId, batchId)
+    } else mode match {
+      case SaveMode.Append => table.append(data, commitId, batchId)
+      case SaveMode.Overwrite => table.overwrite(data, commitId, batchId)
+      case SaveMode.ErrorIfExists => sys.error(
+        s"graft-lake: table already exists at ${table.root} " +
+          "(mode is ErrorIfExists — use append or overwrite)")
+      case SaveMode.Ignore => // table exists: write nothing, per contract
+    }
+    createRelation(ctx, parameters)
   }
 
   // ------------------------------------------------------ streaming CDF

@@ -1218,6 +1218,45 @@ class LakeTable(val spark: SparkSession, val root: String) {
       None, Some((commitId, batchId)))
   }
 
+  /** OVERWRITE: replace the table's ENTIRE contents with `df` in one
+    * atomic commit — the full-refresh / backfill shape (Delta's
+    * `mode("overwrite")`). Every current file is removed from the
+    * manifests (by path; the bytes stay until [[vacuum]]) and the new
+    * bucketed layout published in the same snapshot, so concurrent
+    * readers keep snapshot isolation and time travel still reaches the
+    * pre-refresh versions. `changes()` across an overwrite interval
+    * falls back to the full-state diff (an overwrite can delete any
+    * key, so the delta-key fast path correctly refuses it).
+    *
+    * Publish is SINGLE-WRITER (no OCC rebase): an overwrite that lost a
+    * version race cannot silently rebase — it would discard the racing
+    * writer's commit — so it fails with ConcurrentCommitException for
+    * the caller to retry deliberately. Racing INGEST the other way
+    * (append/mergeDeltas losing to this overwrite) rebases fine: its
+    * rows land on the refreshed base, the same outcome as committing
+    * after the refresh. Idempotent on (commitId, batchId). */
+  def overwrite(df: DataFrame, commitId: String = "overwrite",
+      batchId: Long = 0L): Snapshot = {
+    val cur = currentSnapshot.getOrElse(sys.error(s"no table at $root"))
+    if (cur.commits.get(commitId).exists(_ >= batchId)) return cur.copy(lineage = None)
+    val commitDir = newCommitDir("overwrite", cur.version + 1)
+    val fpb = filesPerBucket(cur.nBuckets)
+    writeBucketed(
+      df.withColumn("_bucket", bucketCol(cur.keyColumns, cur.nBuckets))
+        .repartition(cur.nBuckets * fpb, col("_bucket"), saltCol(cur.keyColumns, fpb)),
+      commitDir, cur.bloomColumns)
+    val newFiles = listCommitFiles(commitDir, cur.version + 1, delta = false)
+    val next = cur.copy(version = cur.version + 1,
+      manifests = nextManifests(cur, _ => true, newFiles),
+      commits = cur.commits + (commitId -> batchId),
+      lineage = Some(lineageNode("overwrite",
+        Map("newFiles" -> newFiles.size.toString,
+          "removed" -> cur.files.size.toString,
+          "batchId" -> batchId.toString))))
+    writeSnapshot(next)
+    next
+  }
+
   /** MERGE a reduced delta batch (output of EnvelopeDecoder.toDeltas:
     * key cols + payload cols + `operation` + `offset`, ≤1 row per key)
     * into the table. Copy-on-write limited to affected buckets.

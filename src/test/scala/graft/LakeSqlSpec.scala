@@ -188,6 +188,58 @@ class LakeSqlSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(ex.getMessage.contains("startingVersion"))
   }
 
+  test("batch writer: create-on-first-write, append, overwrite, save modes") {
+    val root = Scratch.dir("lake-sql-write")
+    // first write creates the table from the frame schema ('keys' required)
+    val noKeys = intercept[Exception] {
+      rows(0, 10).write.format("graft-lake").save(root)
+    }
+    assert(noKeys.getMessage.contains("keys"))
+    rows(0, 100).write.format("graft-lake")
+      .option("keys", "id").option("nBuckets", "4")
+      .option("statsColumns", "v").save(root)
+    val t = new LakeTable(spark, root)
+    assert(t.read().count() == 100)
+    assert(t.currentSnapshot.get.statsColumns == Seq("v"))
+
+    // save() default mode is ErrorIfExists once the table exists
+    val exists = intercept[Exception] {
+      rows(100, 110).write.format("graft-lake").save(root)
+    }
+    assert(exists.getMessage.contains("already exists"))
+    // Ignore: no-op on an existing table
+    rows(100, 110).write.format("graft-lake").mode("ignore").save(root)
+    assert(t.read().count() == 100)
+
+    // append: plain Spark semantics — two appends append twice
+    rows(100, 150).write.format("graft-lake").mode("append").save(root)
+    rows(150, 160).write.format("graft-lake").mode("append").save(root)
+    assert(t.read().count() == 160)
+    val preOverwrite = t.currentVersion.get
+
+    // overwrite: atomic full refresh, one commit, prior version travelable
+    rows(500, 520).write.format("graft-lake").mode("overwrite").save(root)
+    assert(t.currentVersion.get == preOverwrite + 1)
+    assert(t.read().collect().map(_.getLong(0)).sorted.toSeq ==
+      (500L until 520L).toSeq)
+    assert(t.read(Some(preOverwrite)).count() == 160)
+
+    // changes() across the overwrite: full-state diff — every pre-image
+    // key reports delete, every new key insert (no delta-key fast path)
+    val feed = t.changes(preOverwrite).groupBy("_change_type").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(feed == Map("delete" -> 160L, "insert" -> 20L))
+
+    // explicit (checkpointId, batchId) opts into idempotent replay
+    rows(520, 530).write.format("graft-lake").mode("append")
+      .option("checkpointId", "cp-w").option("batchId", "7").save(root)
+    val v = t.currentVersion.get
+    rows(520, 530).write.format("graft-lake").mode("append")
+      .option("checkpointId", "cp-w").option("batchId", "7").save(root)
+    assert(t.currentVersion.get == v, "replayed batch must be a no-op")
+    assert(t.read().count() == 30)
+  }
+
   test("history view: the commit audit log as a SQL relation") {
     val t = newTable(statsCols = Nil)
     t.append(rows(0, 50), "c0", 0L)
