@@ -660,6 +660,35 @@ object SparkEntry {
       table.read()
         .select("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
     }),
+    "cdc_lake_sql_dml" -> ((s, dir) => {
+      // the DML SQL surface end to end: the parser's own DELETE /
+      // UPDATE / MERGE INTO plans over a graft-lake view, rewritten by
+      // graft.sql.GraftLakeExtensions onto the lake's native mutations
+      // (stats-bounded CoW delete/update; bucket-pruned merge upsert —
+      // MERGE of an absent key inserts, so UPDATE SET * + INSERT * is
+      // exactly the reduced-delta 'u' batch). Final state read from the
+      // table head (the view keeps serving its pinned snapshot).
+      val c = t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"),
+          col("c_mktsegment"))
+      val tmp = graft.Scratch.dir("lake-sql-dml-gate")
+      val table = new graft.lake.LakeTable(s, tmp)
+      table.create(c.schema, Seq("c_custkey"), nBuckets = 8,
+        statsColumns = Seq("c_acctbal"))
+      table.append(c.filter(col("c_custkey") % 3 === 0), "a", 0L)
+      s.sql("CREATE OR REPLACE TEMPORARY VIEW cdc_dml_v USING `graft-lake` " +
+        s"OPTIONS (path '$tmp')")
+      s.sql("DELETE FROM cdc_dml_v WHERE c_acctbal < 0 AND c_mktsegment = 'AUTOMOBILE'")
+      s.sql("UPDATE cdc_dml_v SET c_name = 'redacted' WHERE c_mktsegment = 'HOUSEHOLD'")
+      c.filter(col("c_custkey") % 2 === 0)
+        .withColumn("c_name", concat(col("c_name"), lit(" v2")))
+        .createOrReplaceTempView("cdc_dml_src")
+      s.sql("""MERGE INTO cdc_dml_v t USING cdc_dml_src s
+              |ON t.c_custkey = s.c_custkey
+              |WHEN MATCHED THEN UPDATE SET *
+              |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      table.read().select("c_custkey", "c_name", "c_acctbal", "c_mktsegment")
+    }),
     "stream_lake_cdf" -> ((s, dir) => {
       // STREAMING CDF out of the lake as a judged query: a REAL
       // readStream.format("graft-lake") query (table version =
@@ -1616,6 +1645,29 @@ object SparkEntry {
         |  c_nationkey, c_acctbal, c_mktsegment
         |FROM customer
         |WHERE NOT (c_acctbal < 0 AND c_mktsegment = 'BUILDING')""".stripMargin,
+    "cdc_lake_sql_dml" ->
+      // seed %3=0 → DELETE neg-balance AUTOMOBILE → UPDATE redact
+      // HOUSEHOLD names → MERGE-upsert the %2=0 slice (source wins on
+      // overlap, re-inserting even previously deleted keys)
+      """WITH a AS (
+        |  SELECT c_custkey, c_name, c_acctbal, c_mktsegment
+        |  FROM customer WHERE c_custkey % 3 = 0),
+        |a1 AS (
+        |  SELECT * FROM a
+        |  WHERE NOT (c_acctbal < 0 AND c_mktsegment = 'AUTOMOBILE')),
+        |a2 AS (
+        |  SELECT c_custkey,
+        |    CASE WHEN c_mktsegment = 'HOUSEHOLD' THEN 'redacted'
+        |         ELSE c_name END AS c_name,
+        |    c_acctbal, c_mktsegment FROM a1),
+        |s AS (
+        |  SELECT c_custkey, c_name || ' v2' AS c_name, c_acctbal,
+        |         c_mktsegment
+        |  FROM customer WHERE c_custkey % 2 = 0)
+        |SELECT c_custkey, c_name, c_acctbal, c_mktsegment FROM s
+        |UNION ALL
+        |SELECT c_custkey, c_name, c_acctbal, c_mktsegment FROM a2
+        |WHERE c_custkey NOT IN (SELECT c_custkey FROM s)""".stripMargin,
     "stream_lake_cdf" ->
       // batch 0 = bootstrap inserts of the committed evens; batch 1 =
       // the second commit's feed (deletes carry the pre-commit image)

@@ -395,7 +395,7 @@ class LakeChangesRelation(ctx: SQLContext, table: LakeTable,
   * fold only for the data it actually touches. All filters are
   * re-applied by Spark above the relation (default unhandledFilters),
   * so partial predicate translation is sound. */
-class LakeMorRelation(ctx: SQLContext, table: LakeTable, snapVersion: Int)
+class LakeMorRelation(ctx: SQLContext, val table: LakeTable, snapVersion: Int)
     extends BaseRelation with PrunedFilteredScan {
 
   private val snap = table.snapshot(snapVersion)
@@ -460,7 +460,7 @@ class LakeMorRelation(ctx: SQLContext, table: LakeTable, snapVersion: Int)
   * files (never the filesystem — orphans from failed commits are
   * invisible by construction) and prunes them against the scan's
   * pushed-down data filters via [[StatsPruner]]. */
-class LakeFileIndex(spark: SparkSession, table: LakeTable,
+class LakeFileIndex(spark: SparkSession, val table: LakeTable,
     version: Option[Int]) extends FileIndex {
 
   private val snap = version.map(table.snapshot).orElse(table.currentSnapshot)

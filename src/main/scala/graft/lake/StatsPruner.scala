@@ -227,14 +227,24 @@ object StatsPruner {
   /** Some(None) = an explicit NULL literal; None = not a literal. */
   private def literalOfNullable(e: Expression): Option[Option[Any]] = e match {
     case Literal(null, _) => Some(None)
-    case Literal(v, dt) => dt match {
-      case ByteType | ShortType | IntegerType | LongType |
-           DateType | TimestampType | TimestampNTZType =>
-        Some(Some(v.asInstanceOf[Number].longValue))
-      case FloatType | DoubleType => Some(Some(v.asInstanceOf[Number].doubleValue))
-      case StringType => Some(Some(v.toString))
-      case _ => None
-    }
+    case Literal(v, dt) => canon(v, dt)
+    // parser-built predicates carry implicit type-promotion casts over
+    // literals (`id > 5000000` → Cast(5000000, bigint)); fold any
+    // resolved deterministic constant so it still prunes
+    case _ if e.resolved && e.deterministic && e.foldable =>
+      try {
+        val v = e.eval(null)
+        if (v == null) Some(None) else canon(v, e.dataType)
+      } catch { case scala.util.control.NonFatal(_) => None }
+    case _ => None
+  }
+
+  private def canon(v: Any, dt: DataType): Option[Option[Any]] = dt match {
+    case ByteType | ShortType | IntegerType | LongType |
+         DateType | TimestampType | TimestampNTZType =>
+      Some(Some(v.asInstanceOf[Number].longValue))
+    case FloatType | DoubleType => Some(Some(v.asInstanceOf[Number].doubleValue))
+    case StringType => Some(Some(v.toString))
     case _ => None
   }
 

@@ -1,0 +1,255 @@
+package graft.sql
+
+import org.apache.spark.sql.{Column, Row, SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+import org.apache.spark.sql.catalyst.expressions.{And, Attribute, AttributeReference, EqualTo, Expression}
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.functions.{col, count, lit}
+import org.apache.spark.sql.graftshim
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
+
+import graft.lake.{LakeFileIndex, LakeMorRelation, LakeTable}
+
+/** SQL DML over graft-lake tables, the Delta pattern: Spark's parser
+  * already produces `DeleteFromTable` / `UpdateTable` / `MergeIntoTable`
+  * logical plans for ANY relation, but only DSv2 row-level-operation
+  * tables survive analysis — everything else dies in CheckAnalysis with
+  * "only supported with v2 tables". This extension injects a resolution
+  * rule that recognizes those nodes over a graft-lake relation (either
+  * view: the HadoopFsRelation read-optimized scan or the LakeMorRelation
+  * real-time fold) and rewrites them into runnable commands backed by the
+  * table's native mutations — [[LakeTable.deleteWhere]] /
+  * [[LakeTable.updateWhere]] (stats-bounded copy-on-write, file-granular
+  * on delta-free buckets) and [[LakeTable.merge]] (bucket-pruned CoW
+  * upsert). Register via
+  * `spark.sql.extensions=graft.sql.GraftLakeExtensions`, then:
+  *
+  * {{{
+  *   CREATE TEMPORARY VIEW t USING `graft-lake` OPTIONS (path '<root>')
+  *   DELETE FROM t WHERE conv_id = 'c-42'
+  *   UPDATE t SET text = '[redacted]' WHERE role = 'tool'
+  *   MERGE INTO t USING s ON t.conv_id = s.conv_id AND t.turn_idx = s.turn_idx
+  *     WHEN MATCHED THEN UPDATE SET *
+  *     WHEN NOT MATCHED THEN INSERT *
+  * }}}
+  *
+  * DML always applies to the table HEAD (the view only locates the
+  * table; a `versionAsOf` view still mutates the current version, and a
+  * view created before the DML keeps serving its pinned snapshot —
+  * snapshot isolation, re-create the view to see the new version).
+  *
+  * MERGE supports the two shapes that map exactly onto the lake's
+  * reduced-delta merge: UPSERT (`WHEN MATCHED THEN UPDATE SET *` +
+  * optionally `WHEN NOT MATCHED THEN INSERT *`, both unconditional —
+  * an update of an absent key inserts, so the INSERT clause adds
+  * nothing semantically) and DELETE (`WHEN MATCHED THEN DELETE` alone —
+  * a delete of an absent key is a no-op). The ON condition must equate
+  * exactly the table's key columns. Conditional clauses, partial SET,
+  * and NOT MATCHED BY SOURCE are rejected with a clear error rather
+  * than silently mis-translated. Per the SQL standard the source must
+  * match each target key at most once; the command verifies source-key
+  * uniqueness and raises otherwise.
+  */
+class GraftLakeExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    ext.injectResolutionRule(spark => GraftDmlRule(spark))
+}
+
+case class GraftDmlRule(spark: SparkSession) extends Rule[LogicalPlan] {
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.resolveOperators {
+    case DeleteFromTable(rel, cond) if lakeRoot(rel).isDefined && cond.resolved =>
+      GraftDeleteCommand(lakeRoot(rel).get, byName(cond))
+
+    case UpdateTable(rel, assignments, cond) if lakeRoot(rel).isDefined &&
+        assignments.forall(a => a.key.resolved && a.value.resolved) &&
+        cond.forall(_.resolved) =>
+      val set = assignments.map { a =>
+        val name = a.key match {
+          case attr: Attribute => attr.name
+          case other => sys.error(s"graft-lake UPDATE: unsupported assignment " +
+            s"target ${other.sql} (top-level columns only)")
+        }
+        name -> byName(a.value)
+      }.toMap
+      GraftUpdateCommand(lakeRoot(rel).get,
+        cond.map(byName).getOrElse(lit(true)), set)
+
+    case m: MergeIntoTable if lakeRoot(m.targetTable).isDefined &&
+        m.sourceTable.resolved =>
+      translateMerge(m, lakeRoot(m.targetTable).get)
+  }
+
+  /** The table root behind a resolved graft-lake relation — either SQL
+    * view: read-optimized (HadoopFsRelation over LakeFileIndex) or
+    * real-time (LakeMorRelation). */
+  private def lakeRoot(plan: LogicalPlan): Option[String] = plan match {
+    case SubqueryAlias(_, child) => lakeRoot(child)
+    case v: View => lakeRoot(v.child)
+    case lr: LogicalRelation => lr.relation match {
+      case h: HadoopFsRelation => h.location match {
+        case idx: LakeFileIndex => Some(idx.table.root)
+        case _ => None
+      }
+      case m: LakeMorRelation => Some(m.table.root)
+      case _ => None
+    }
+    case _ => None
+  }
+
+  /** Detach an analysis-time expression from the relation it resolved
+    * against: exprIds are meaningless inside the command's own
+    * `table.read()` plan, so re-anchor attributes by NAME (the command
+    * re-resolves them against the head snapshot's schema). */
+  private def byName(e: Expression): Column =
+    graftshim.toColumn(e.transform {
+      case a: AttributeReference => UnresolvedAttribute.quoted(a.name)
+    })
+
+  private def translateMerge(m: MergeIntoTable, root: String): LogicalPlan = {
+    def fail(what: String): Nothing = sys.error(
+      s"graft-lake MERGE: $what (supported: unconditional " +
+        "'WHEN MATCHED THEN UPDATE SET *' [+ 'WHEN NOT MATCHED THEN " +
+        "INSERT *'] for upsert, or 'WHEN MATCHED THEN DELETE' alone; " +
+        "ON must equate exactly the key columns)")
+    val keyCols = new LakeTable(spark, root).currentSnapshot
+      .getOrElse(sys.error(s"graft-lake MERGE: no table at $root"))
+      .keyColumns
+    // ON: a conjunction of name-equal column equalities covering the keys
+    def attrName(e: Expression): Option[String] = e match {
+      case a: AttributeReference => Some(a.name)
+      case u: UnresolvedAttribute => Some(u.nameParts.last)
+      case _ => None
+    }
+    def eqCols(e: Expression): Option[Seq[String]] = e match {
+      case And(l, r) => for { a <- eqCols(l); b <- eqCols(r) } yield a ++ b
+      case EqualTo(l, r) => for {
+        a <- attrName(l); b <- attrName(r) if a.equalsIgnoreCase(b)
+      } yield Seq(a)
+      case _ => None
+    }
+    val onCols = eqCols(m.mergeCondition).getOrElse(
+      fail(s"ON condition '${m.mergeCondition.sql}' is not a conjunction " +
+        "of same-name column equalities"))
+    if (onCols.map(_.toLowerCase).toSet != keyCols.map(_.toLowerCase).toSet)
+      fail(s"ON columns ${onCols.mkString(", ")} must be exactly the key " +
+        s"columns ${keyCols.mkString(", ")}")
+
+    // star shape, whether still unresolved or already expanded by the
+    // analyzer into per-column name-aligned assignments (whose values
+    // the alignment wraps in AssertNotNull / widening Cast — the
+    // command re-reads source columns by name, so wrappers are noise)
+    def valueName(e: Expression): Option[String] = e match {
+      case org.apache.spark.sql.catalyst.expressions.objects.AssertNotNull(c, _) =>
+        valueName(c)
+      case c: org.apache.spark.sql.catalyst.expressions.Cast => valueName(c.child)
+      case org.apache.spark.sql.catalyst.expressions.Alias(c, _) => valueName(c)
+      case other => attrName(other)
+    }
+    def isStarAssignments(as: Seq[Assignment]): Boolean = as.forall { a =>
+      (attrName(a.key), valueName(a.value)) match {
+        case (Some(k), Some(v)) => k.equalsIgnoreCase(v)
+        case _ => false
+      }
+    }
+    if (m.notMatchedBySourceActions.nonEmpty)
+      fail("NOT MATCHED BY SOURCE is not supported")
+    val insertOk = m.notMatchedActions match {
+      case Nil => true
+      case Seq(InsertStarAction(None)) => true
+      case Seq(InsertAction(None, as)) if isStarAssignments(as) => true
+      case _ => false
+    }
+    val op = m.matchedActions match {
+      case Seq(UpdateStarAction(None)) if insertOk => "u"
+      case Seq(UpdateAction(None, as, _)) if isStarAssignments(as) && insertOk => "u"
+      case Seq(DeleteAction(None)) if m.notMatchedActions.isEmpty => "d"
+      case Nil if m.notMatchedActions.nonEmpty =>
+        fail("insert-only MERGE is not supported (matched rows must not " +
+          "be updated; load via INSERT/append instead)")
+      case other => fail(s"unsupported WHEN clause combination " +
+        s"(matched: $other; notMatched: ${m.notMatchedActions})")
+    }
+    GraftMergeCommand(root, m.sourceTable, op)
+  }
+}
+
+/** `DELETE FROM <lake view> WHERE cond` → [[LakeTable.deleteWhere]].
+  * Returns the deleted-row count (lineage-observed during the rewrite,
+  * no separate counting pass). */
+case class GraftDeleteCommand(root: String, cond: Column)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = GraftDml.affectedOutput
+  override def run(spark: SparkSession): Seq[Row] = {
+    val t = new LakeTable(spark, root)
+    val before = t.currentSnapshot.map(_.version)
+    val snap = t.deleteWhere(cond)
+    Seq(Row(GraftDml.affected(t, before, snap.version, "matchedRows")))
+  }
+}
+
+/** `UPDATE <lake view> SET ... WHERE cond` → [[LakeTable.updateWhere]]. */
+case class GraftUpdateCommand(root: String, cond: Column,
+    set: Map[String, Column]) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = GraftDml.affectedOutput
+  override def run(spark: SparkSession): Seq[Row] = {
+    val t = new LakeTable(spark, root)
+    val before = t.currentSnapshot.map(_.version)
+    val snap = t.updateWhere(cond, set)
+    Seq(Row(GraftDml.affected(t, before, snap.version, "matchedRows")))
+  }
+}
+
+/** Upsert / delete MERGE → [[LakeTable.merge]] over a reduced delta
+  * batch synthesized from the source plan (op column + offset 0). The
+  * source plan was resolved at analysis time; execution re-plans it
+  * through the session (idempotent). */
+case class GraftMergeCommand(root: String, source: LogicalPlan, op: String)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = GraftDml.affectedOutput
+  override def run(spark: SparkSession): Seq[Row] = {
+    val t = new LakeTable(spark, root)
+    val snap = t.currentSnapshot.getOrElse(sys.error(s"no table at $root"))
+    val src = graftshim.ofRows(spark, source)
+    val missing = snap.schema.fieldNames.filterNot(n =>
+      src.columns.exists(_.equalsIgnoreCase(n)))
+    require(missing.isEmpty, s"graft-lake MERGE: source is missing table " +
+      s"columns ${missing.mkString(", ")} (SET * / INSERT * need them all)")
+    // SQL standard: each target row may match at most one source row
+    val dup = src.groupBy(snap.keyColumns.map(col): _*)
+      .agg(count(lit(1)).as("n")).filter(col("n") > 1).limit(1).collect()
+    if (dup.nonEmpty) sys.error(
+      s"graft-lake MERGE: source has duplicate key ${dup.head.toSeq.init.mkString("|")}")
+    val deltas = src
+      .select(snap.schema.fieldNames.map(n => col(n).cast(snap.schema(n).dataType)).toSeq: _*)
+      .withColumn("operation", lit(op))
+      .withColumn("offset", lit(0L))
+    val before = t.currentSnapshot.map(_.version)
+    val after = t.merge(deltas,
+      s"sql-merge-${java.util.UUID.randomUUID().toString.take(8)}", 0L)
+    Seq(Row(GraftDml.affected(t, before, after.version,
+      if (op == "d") "deletes" else "keys")))
+  }
+}
+
+private[sql] object GraftDml {
+  val affectedOutput: Seq[Attribute] =
+    org.apache.spark.sql.catalyst.types.DataTypeUtils.toAttributes(
+      StructType(Seq(
+        StructField("num_affected_rows", LongType, nullable = true))))
+
+  /** Affected-row count from the commit's own lineage (observed during
+    * the rewrite job — no extra pass); null when the commit was a
+    * stats-proven no-op or lineage lacks the counter. */
+  def affected(t: LakeTable, before: Option[Int], after: Int,
+      counter: String): Any = {
+    if (before.contains(after)) return 0L // no-op: nothing committed
+    t.historyDetail().find(_._1 == after).flatMap(_._4).flatMap { js =>
+      val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(js)
+      Option(node.get(counter)).map(_.asLong())
+    }.orNull
+  }
+}

@@ -27,6 +27,13 @@ package object graftshim {
     ctx.asInstanceOf[classic.SQLContext]
       .internalCreateDataFrame(rdd, schema, isStreaming = true)
 
+  /** DataFrame over an already-analyzed logical plan — what a DML
+    * command captured at analysis time executes at run time (Delta's
+    * command pattern; re-analysis of an analyzed plan is idempotent). */
+  def ofRows(spark: SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
   /** Re-plan a streaming micro-batch Dataset as a BATCH DataFrame (what
     * `Sink.addBatch` receives cannot be fed to batch operators
     * directly) — ForeachBatchSink's own trick: wrap the planned
