@@ -90,7 +90,13 @@ class LakeDataSource extends RelationProvider with CreatableRelationProvider
       return new LakeChangesRelation(ctx, table, from,
         opt(parameters, "endingVersion").map(_.toInt))
     }
+    if (opt(parameters, "files").exists(_.toBoolean))
+      // Iceberg `table$files` analog: the manifest file inventory
+      return new LakeFilesRelation(ctx, table,
+        opt(parameters, "versionAsOf").map(_.toInt))
+    // time travel by version number or by named tag ref
     val version = opt(parameters, "versionAsOf").map(_.toInt)
+      .orElse(opt(parameters, "tagAsOf").map(table.resolveTag))
     val snap = version.map(table.snapshot).orElse(table.currentSnapshot)
       .getOrElse(sys.error(s"graft-lake: no table at ${table.root}"))
     val hasDeltas = snap.files.exists(_.delta)
@@ -349,6 +355,54 @@ class LakeHistoryRelation(ctx: SQLContext, table: LakeTable)
   }
 
   override def toString: String = s"LakeHistoryRelation[${table.root}]"
+}
+
+/** Iceberg `table$files` analog — a snapshot's data-file inventory as
+  * a relation, straight from the manifests (no filesystem listing):
+  * {{{
+  *   CREATE TEMPORARY VIEW f USING `graft-lake` OPTIONS (
+  *     path '<root>', files 'true' [, versionAsOf '3'])
+  *   -- path | bucket | seq | delta | patch | records | stats | null_counts
+  * }}}
+  * `stats`/`null_counts` carry the per-column footer-harvested min/max
+  * and null counts as JSON — the inputs StatsPruner skips files by, so
+  * layout quality (clustering ranges, file sizing, delta backlog per
+  * bucket) is auditable in plain SQL. */
+class LakeFilesRelation(ctx: SQLContext, table: LakeTable,
+    version: Option[Int]) extends BaseRelation with TableScan {
+
+  override def sqlContext: SQLContext = ctx
+
+  override val schema: StructType = StructType(Seq(
+    StructField("path", StringType, nullable = false),
+    StructField("bucket", IntegerType, nullable = false),
+    StructField("seq", IntegerType, nullable = false),
+    StructField("delta", org.apache.spark.sql.types.BooleanType, nullable = false),
+    StructField("patch", org.apache.spark.sql.types.BooleanType, nullable = false),
+    StructField("records", org.apache.spark.sql.types.LongType, nullable = true),
+    StructField("stats", StringType, nullable = true),
+    StructField("null_counts", StringType, nullable = true)))
+
+  override def buildScan(): RDD[Row] = {
+    val snap = version.map(table.snapshot).orElse(table.currentSnapshot)
+      .getOrElse(sys.error(s"graft-lake: no table at ${table.root}"))
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    def json(m: Map[String, _]): String =
+      if (m.isEmpty) null
+      else {
+        val node = mapper.createObjectNode()
+        m.toSeq.sortBy(_._1).foreach {
+          case (k, (mn, mx)) => node.put(k, s"[$mn, $mx]")
+          case (k, v) => node.put(k, v.toString)
+        }
+        mapper.writeValueAsString(node)
+      }
+    val rows = snap.files.map(f => Row(f.path, f.bucket, f.seq, f.delta,
+      f.patch, if (f.rows < 0) null else f.rows, json(f.stats), json(f.nulls)))
+    ctx.sparkContext.parallelize(rows, 1)
+  }
+
+  override def toString: String = s"LakeFilesRelation[${table.root}]"
 }
 
 /** Batch SQL view of the change feed between two committed versions:

@@ -853,6 +853,65 @@ class LakeTable(val spark: SparkSession, val root: String) {
     new Path(new Path(metaDir, "consumers"), s"$consumerId.json")
   }
 
+  // ------------------------------------------------------------ tags
+
+  /** Pin `version` (default: current) under a NAME — Iceberg-style tag
+    * refs: "the audit snapshot", "the corpus we trained run 7 on".
+    * Tagged versions are exempt from [[expireSnapshots]] (and therefore
+    * their files from [[vacuum]], which only collects what no retained
+    * snapshot references) until [[dropTag]] releases them, so a tag is
+    * a durable time-travel anchor rather than a race against the
+    * retention policy. One tiny metadata file per tag, O(1) vs table
+    * size; re-tagging an existing name moves it (small-file replace —
+    * crash-safe the same way consumer acks are). */
+  def tag(name: String, version: Option[Int] = None): Int = {
+    val v = version.getOrElse(
+      currentVersion.getOrElse(sys.error(s"no table at $root")))
+    require(listVersions.contains(v),
+      s"tag '$name': version $v is expired or unknown; retained: " +
+        listVersions.mkString("[", ",", "]"))
+    val p = tagFile(name)
+    fs.mkdirs(p.getParent)
+    val tmp = new Path(p.getParent, s".${p.getName}.tmp-${java.util.UUID.randomUUID()}")
+    val node = mapper.createObjectNode()
+    node.put("version", v)
+    node.put("createdAtMs", System.currentTimeMillis())
+    val out = fs.create(tmp, false)
+    try out.write(mapper.writeValueAsBytes(node)) finally out.close()
+    if (fs.exists(p)) fs.delete(p, false)
+    if (!fs.rename(tmp, p)) { fs.delete(tmp, false); sys.error(s"tag publish failed: $p") }
+    v
+  }
+
+  /** All tags and the versions they pin. */
+  def tags(): Map[String, Int] = {
+    val dir = new Path(metaDir, "tags")
+    if (!fs.exists(dir)) Map.empty
+    else fs.listStatus(dir).toSeq
+      .filter(s => s.getPath.getName.endsWith(".json"))
+      .map { s =>
+        val n = s.getPath.getName.stripSuffix(".json")
+        n -> mapper.readTree(readFully(s.getPath)).get("version").asInt()
+      }.toMap
+  }
+
+  /** The version a tag pins; raises with the tag list when unknown. */
+  def resolveTag(name: String): Int =
+    tags().getOrElse(name, sys.error(
+      s"unknown tag '$name' at $root; tags: ${tags().keys.toSeq.sorted.mkString(", ")}"))
+
+  /** Release a tag (its version becomes expirable again). */
+  def dropTag(name: String): Unit = {
+    val p = tagFile(name)
+    require(fs.exists(p), s"unknown tag '$name' at $root")
+    fs.delete(p, false)
+  }
+
+  private def tagFile(name: String): Path = {
+    require(name.matches("[A-Za-z0-9._-]+"), s"invalid tag name '$name'")
+    new Path(new Path(metaDir, "tags"), s"$name.json")
+  }
+
   /** Files that can contain keys changed in `(from, to]`, or None when
     * some commit in the interval changes state NOT attributable to its
     * own new files (COW `merge` rewrites whole buckets, `rebucket` /
@@ -1979,7 +2038,9 @@ class LakeTable(val spark: SparkSession, val root: String) {
       if (!respectConsumers) Int.MaxValue
       else consumerPositions().values.reduceOption(_ min _).getOrElse(Int.MaxValue)
     val now = System.currentTimeMillis()
-    val expired = versions.dropRight(keepLast).filter(_ < floor).filter { v =>
+    val tagged = tags().values.toSet // tag refs pin their version
+    val expired = versions.dropRight(keepLast).filter(_ < floor)
+      .filterNot(tagged.contains).filter { v =>
       olderThanMs <= 0L || {
         // age-based retention (time-travel SLA): keep snapshots younger
         // than the horizon; a pre-timestamp legacy snapshot (-1) is by
