@@ -41,17 +41,21 @@ import graft.lake.{LakeFileIndex, LakeMorRelation, LakeTable}
   * view created before the DML keeps serving its pinned snapshot —
   * snapshot isolation, re-create the view to see the new version).
   *
-  * MERGE supports the two shapes that map exactly onto the lake's
-  * reduced-delta merge: UPSERT (`WHEN MATCHED THEN UPDATE SET *` +
-  * optionally `WHEN NOT MATCHED THEN INSERT *`, both unconditional —
-  * an update of an absent key inserts, so the INSERT clause adds
-  * nothing semantically) and DELETE (`WHEN MATCHED THEN DELETE` alone —
-  * a delete of an absent key is a no-op). The ON condition must equate
-  * exactly the table's key columns. Conditional clauses, partial SET,
-  * and NOT MATCHED BY SOURCE are rejected with a clear error rather
-  * than silently mis-translated. Per the SQL standard the source must
-  * match each target key at most once; the command verifies source-key
-  * uniqueness and raises otherwise.
+  * MERGE supports the three shapes that map exactly onto native table
+  * operations: UPSERT (`WHEN MATCHED THEN UPDATE SET *` + optionally
+  * `WHEN NOT MATCHED THEN INSERT *`, both unconditional — an update of
+  * an absent key inserts, so the INSERT clause adds nothing
+  * semantically) and DELETE (`WHEN MATCHED THEN DELETE` alone — a
+  * delete of an absent key is a no-op), both via the reduced-delta
+  * [[LakeTable.merge]]; and full SYNC (`UPDATE SET *` + `INSERT *` +
+  * `WHEN NOT MATCHED BY SOURCE THEN DELETE`), whose final state is by
+  * definition the source and therefore runs as one atomic
+  * [[LakeTable.overwrite]] commit instead of a join. The ON condition
+  * must equate exactly the table's key columns. Conditional clauses and
+  * partial SET are rejected with a clear error rather than silently
+  * mis-translated. Per the SQL standard the source must match each
+  * target key at most once; the command verifies source-key uniqueness
+  * and raises otherwise.
   */
 class GraftLakeExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit =
@@ -155,23 +159,35 @@ case class GraftDmlRule(spark: SparkSession) extends Rule[LogicalPlan] {
         case _ => false
       }
     }
-    if (m.notMatchedBySourceActions.nonEmpty)
-      fail("NOT MATCHED BY SOURCE is not supported")
-    val insertOk = m.notMatchedActions match {
-      case Nil => true
+    val matchedUpdateStar = m.matchedActions match {
+      case Seq(UpdateStarAction(None)) => true
+      case Seq(UpdateAction(None, as, _)) if isStarAssignments(as) => true
+      case _ => false
+    }
+    val insertStar = m.notMatchedActions match {
       case Seq(InsertStarAction(None)) => true
       case Seq(InsertAction(None, as)) if isStarAssignments(as) => true
       case _ => false
     }
-    val op = m.matchedActions match {
-      case Seq(UpdateStarAction(None)) if insertOk => "u"
-      case Seq(UpdateAction(None, as, _)) if isStarAssignments(as) && insertOk => "u"
-      case Seq(DeleteAction(None)) if m.notMatchedActions.isEmpty => "d"
-      case Nil if m.notMatchedActions.nonEmpty =>
-        fail("insert-only MERGE is not supported (matched rows must not " +
-          "be updated; load via INSERT/append instead)")
-      case other => fail(s"unsupported WHEN clause combination " +
-        s"(matched: $other; notMatched: ${m.notMatchedActions})")
+    val op = m.notMatchedBySourceActions match {
+      // full SYNC: matched rows take source values, absent rows insert,
+      // target-only rows delete — the final state IS the source, i.e.
+      // an atomic overwrite (one commit, time travel intact)
+      case Seq(DeleteAction(None)) if matchedUpdateStar && insertStar => "sync"
+      case Seq(_*) if m.notMatchedBySourceActions.nonEmpty =>
+        fail("NOT MATCHED BY SOURCE is only supported as the " +
+          "unconditional full-sync shape (UPDATE SET * + INSERT * + " +
+          "NOT MATCHED BY SOURCE DELETE)")
+      case _ => (m.matchedActions, m.notMatchedActions) match {
+        case (Seq(UpdateStarAction(None) | UpdateAction(None, _, _)), _)
+            if matchedUpdateStar && (m.notMatchedActions.isEmpty || insertStar) => "u"
+        case (Seq(DeleteAction(None)), Nil) => "d"
+        case (Nil, _) if m.notMatchedActions.nonEmpty =>
+          fail("insert-only MERGE is not supported (matched rows must not " +
+            "be updated; load via INSERT/append instead)")
+        case other => fail(s"unsupported WHEN clause combination " +
+          s"(matched: ${m.matchedActions}; notMatched: ${m.notMatchedActions})")
+      }
     }
     GraftMergeCommand(root, m.sourceTable, op)
   }
@@ -223,13 +239,18 @@ case class GraftMergeCommand(root: String, source: LogicalPlan, op: String)
       .agg(count(lit(1)).as("n")).filter(col("n") > 1).limit(1).collect()
     if (dup.nonEmpty) sys.error(
       s"graft-lake MERGE: source has duplicate key ${dup.head.toSeq.init.mkString("|")}")
-    val deltas = src
-      .select(snap.schema.fieldNames.map(n => col(n).cast(snap.schema(n).dataType)).toSeq: _*)
+    val aligned = src.select(snap.schema.fieldNames
+      .map(n => col(n).cast(snap.schema(n).dataType)).toSeq: _*)
+    val commitId = s"sql-merge-${java.util.UUID.randomUUID().toString.take(8)}"
+    val before = t.currentSnapshot.map(_.version)
+    if (op == "sync") { // full sync: the final state IS the source
+      t.overwrite(aligned, commitId)
+      return Seq(Row(null))
+    }
+    val deltas = aligned
       .withColumn("operation", lit(op))
       .withColumn("offset", lit(0L))
-    val before = t.currentSnapshot.map(_.version)
-    val after = t.merge(deltas,
-      s"sql-merge-${java.util.UUID.randomUUID().toString.take(8)}", 0L)
+    val after = t.merge(deltas, commitId, 0L)
     Seq(Row(GraftDml.affected(t, before, after.version,
       if (op == "d") "deletes" else "keys")))
   }

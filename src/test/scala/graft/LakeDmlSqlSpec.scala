@@ -104,6 +104,30 @@ class LakeDmlSqlSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(badOn.getMessage.contains("key"))
   }
 
+  test("MERGE INTO full-sync shape: NOT MATCHED BY SOURCE DELETE = atomic overwrite") {
+    val (t, v) = newTable()
+    val preVer = t.currentVersion.get
+    rows(500, 1200).withColumn("v", col("v") + 1)
+      .createOrReplaceTempView("dml_src_sync")
+    spark.sql(s"""MERGE INTO $v t USING dml_src_sync s ON t.id = s.id
+      WHEN MATCHED THEN UPDATE SET *
+      WHEN NOT MATCHED THEN INSERT *
+      WHEN NOT MATCHED BY SOURCE THEN DELETE""")
+    // final state IS the source, in ONE commit; history stays travelable
+    assert(t.currentVersion.get == preVer + 1)
+    assert(t.read().count() == 700)
+    assert(t.read().agg(min("id"), max("id")).head.toSeq == Seq(500L, 1199L))
+    assert(t.read().filter(col("id") === 600L).head.getLong(2) == 600 * 7 + 1)
+    assert(t.read(Some(preVer)).count() == 1000)
+    // conditional NOT MATCHED BY SOURCE: rejected
+    val ex = intercept[Exception] {
+      spark.sql(s"""MERGE INTO $v t USING dml_src_sync s ON t.id = s.id
+        WHEN MATCHED THEN UPDATE SET *
+        WHEN NOT MATCHED BY SOURCE AND t.grp = 1 THEN DELETE""")
+    }
+    assert(ex.getMessage.contains("full-sync"))
+  }
+
   test("DML works against the real-time (merge-on-read) view too") {
     val t = new LakeTable(spark, Scratch.dir("lake-dml-mor"))
     t.create(schema, Seq("id"), nBuckets = 4)
