@@ -85,6 +85,21 @@ case class GraftDmlRule(spark: SparkSession) extends Rule[LogicalPlan] {
     case m: MergeIntoTable if lakeRoot(m.targetTable).isDefined &&
         m.sourceTable.resolved =>
       translateMerge(m, lakeRoot(m.targetTable).get)
+
+    // INSERT INTO / INSERT OVERWRITE a lake view. Intercepting this is
+    // not just surface completeness: without it Spark's own
+    // DataSourceAnalysis plans InsertIntoHadoopFsRelationCommand over
+    // the view's file index and writes STRAY PARQUET into the table
+    // root outside any snapshot (silent corruption). Columns align by
+    // position per SQL (BY NAME sets the flag); an explicit column
+    // list is rejected — the lake has no defaults for omitted columns.
+    case i: InsertIntoStatement if lakeRoot(i.table).isDefined && i.query.resolved =>
+      require(i.partitionSpec.isEmpty,
+        "graft-lake INSERT: PARTITION spec is not supported (tables are key-bucketed)")
+      require(i.userSpecifiedCols.isEmpty,
+        "graft-lake INSERT: explicit column lists are not supported — " +
+          "provide every table column (positionally, or INSERT ... BY NAME)")
+      GraftInsertCommand(lakeRoot(i.table).get, i.query, i.overwrite, i.byName)
   }
 
   /** The table root behind a resolved graft-lake relation — either SQL
@@ -216,6 +231,44 @@ case class GraftUpdateCommand(root: String, cond: Column,
     val before = t.currentSnapshot.map(_.version)
     val snap = t.updateWhere(cond, set)
     Seq(Row(GraftDml.affected(t, before, snap.version, "matchedRows")))
+  }
+}
+
+/** `INSERT INTO` → [[LakeTable.append]]; `INSERT OVERWRITE` →
+  * [[LakeTable.overwrite]] (atomic full refresh). Positional column
+  * alignment per SQL semantics (arity-checked, cast to the declared
+  * types); `BY NAME` aligns by column name instead. Fresh commit id per
+  * statement — plain SQL insert-twice-appends-twice semantics. Rows are
+  * appended as FINAL rows under the lake's append contract (new keys
+  * only — base files within a bucket are key-disjoint); inserting an
+  * existing key is the caller's contract violation, use MERGE INTO for
+  * upsert. */
+case class GraftInsertCommand(root: String, query: LogicalPlan,
+    overwrite: Boolean, byName: Boolean) extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    val t = new LakeTable(spark, root)
+    val snap = t.currentSnapshot.getOrElse(sys.error(s"no table at $root"))
+    val src = graftshim.ofRows(spark, query)
+    val fields = snap.schema.fields
+    val aligned =
+      if (byName) {
+        val missing = fields.map(_.name)
+          .filterNot(n => src.columns.exists(_.equalsIgnoreCase(n)))
+        require(missing.isEmpty, s"graft-lake INSERT BY NAME: query is " +
+          s"missing table columns ${missing.mkString(", ")}")
+        src.select(fields.map(f => col(f.name).cast(f.dataType).as(f.name)).toSeq: _*)
+      } else {
+        require(src.columns.length == fields.length,
+          s"graft-lake INSERT: query has ${src.columns.length} columns, " +
+            s"table has ${fields.length} (positional alignment)")
+        src.select(src.columns.zip(fields).map { case (c, f) =>
+          col(c).cast(f.dataType).as(f.name)
+        }.toSeq: _*)
+      }
+    val commitId = s"sql-insert-${java.util.UUID.randomUUID().toString.take(8)}"
+    if (overwrite) t.overwrite(aligned, commitId)
+    else t.append(aligned, commitId, 0L)
+    Seq.empty
   }
 }
 

@@ -128,6 +128,28 @@ class LakeDmlSqlSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(ex.getMessage.contains("full-sync"))
   }
 
+  test("INSERT INTO appends through the lake commit path, never raw parquet") {
+    val (t, v) = newTable()
+    val preFiles = t.currentSnapshot.get.files.size
+    spark.sql(s"INSERT INTO $v VALUES (5000, 0, 35000), (5001, 1, 35007)")
+    assert(t.read().count() == 1002)
+    assert(t.read().filter(col("id") === 5000L).head.getLong(2) == 35000)
+    // committed as a snapshot (manifest grew), not stray files in root
+    assert(t.currentSnapshot.get.files.size > preFiles)
+    spark.range(6000, 6010).select(col("id").as("a"), (col("id") % 10).as("b"),
+      (col("id") * 7).as("c")).createOrReplaceTempView("dml_ins_src")
+    spark.sql(s"INSERT INTO $v SELECT a, b, c FROM dml_ins_src") // positional
+    assert(t.read().count() == 1012)
+    // INSERT OVERWRITE = atomic full refresh
+    spark.sql(s"INSERT OVERWRITE $v SELECT a, b, c FROM dml_ins_src")
+    assert(t.read().count() == 10)
+    // arity mismatch rejected (no silent defaulting)
+    val ex = intercept[Exception] {
+      spark.sql(s"INSERT INTO $v SELECT a, b FROM dml_ins_src")
+    }
+    assert(ex.getMessage.contains("columns"))
+  }
+
   test("DML works against the real-time (merge-on-read) view too") {
     val t = new LakeTable(spark, Scratch.dir("lake-dml-mor"))
     t.create(schema, Seq("id"), nBuckets = 4)
