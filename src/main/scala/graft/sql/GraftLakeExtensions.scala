@@ -132,8 +132,13 @@ case class GraftDmlRule(spark: SparkSession) extends Rule[LogicalPlan] {
     def fail(what: String): Nothing = sys.error(
       s"graft-lake MERGE: $what (supported: unconditional " +
         "'WHEN MATCHED THEN UPDATE SET *' [+ 'WHEN NOT MATCHED THEN " +
-        "INSERT *'] for upsert, or 'WHEN MATCHED THEN DELETE' alone; " +
-        "ON must equate exactly the key columns)")
+        "INSERT *'] for upsert, 'WHEN MATCHED THEN DELETE' alone, or " +
+        "the full-sync shape UPDATE SET * + INSERT * + NOT MATCHED BY " +
+        "SOURCE DELETE; ON must equate exactly the key columns)")
+    if (m.withSchemaEvolution)
+      fail("WITH SCHEMA EVOLUTION is not supported here — evolve the " +
+        "table first (LakeTable.evolveSchema, or autoEvolve on the " +
+        "ingest pipeline)")
     val keyCols = new LakeTable(spark, root).currentSnapshot
       .getOrElse(sys.error(s"graft-lake MERGE: no table at $root"))
       .keyColumns
