@@ -94,6 +94,9 @@ class LakeDataSource extends RelationProvider with CreatableRelationProvider
       // Iceberg `table$files` analog: the manifest file inventory
       return new LakeFilesRelation(ctx, table,
         opt(parameters, "versionAsOf").map(_.toInt))
+    if (opt(parameters, "tags").exists(_.toBoolean))
+      // Iceberg `table$refs` analog: named refs and what they pin
+      return new LakeTagsRelation(ctx, table)
     // time travel by version number or by named tag ref
     val version = opt(parameters, "versionAsOf").map(_.toInt)
       .orElse(opt(parameters, "tagAsOf").map(table.resolveTag))
@@ -355,6 +358,34 @@ class LakeHistoryRelation(ctx: SQLContext, table: LakeTable)
   }
 
   override def toString: String = s"LakeHistoryRelation[${table.root}]"
+}
+
+/** Iceberg `table$refs` analog — the tag refs as a relation:
+  * {{{
+  *   CREATE TEMPORARY VIEW r USING `graft-lake` OPTIONS (
+  *     path '<root>', tags 'true')   -- tag | version | committed_at
+  * }}}
+  * `committed_at` is the PINNED SNAPSHOT's commit time (what the tag
+  * preserves), not the tag's creation time. */
+class LakeTagsRelation(ctx: SQLContext, table: LakeTable)
+    extends BaseRelation with TableScan {
+
+  override def sqlContext: SQLContext = ctx
+
+  override val schema: StructType = StructType(Seq(
+    StructField("tag", StringType, nullable = false),
+    StructField("version", IntegerType, nullable = false),
+    StructField("committed_at", TimestampType, nullable = true)))
+
+  override def buildScan(): RDD[Row] = {
+    val rows = table.tags().toSeq.sortBy(_._1).map { case (name, v) =>
+      val ts = table.snapshot(v).committedAtMs
+      Row(name, v, if (ts < 0) null else new java.sql.Timestamp(ts))
+    }
+    ctx.sparkContext.parallelize(rows, 1)
+  }
+
+  override def toString: String = s"LakeTagsRelation[${table.root}]"
 }
 
 /** Iceberg `table$files` analog — a snapshot's data-file inventory as

@@ -65,6 +65,21 @@ class LakeTagSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(t.expireSnapshots(keepLast = 1).contains(v1))
   }
 
+  test("tags view: the refs as SQL") {
+    val t = newTable()
+    t.append(rows(0, 10), "c0", 0L)
+    t.tag("a")
+    t.append(rows(10, 20), "c1", 1L)
+    t.tag("b")
+    val view = s"tags_v_${System.nanoTime()}"
+    spark.sql(s"CREATE TEMPORARY VIEW $view USING `graft-lake` " +
+      s"OPTIONS (path '${t.root}', tags 'true')")
+    val got = spark.table(view).collect()
+      .map(r => (r.getString(0), r.getInt(1))).toSeq
+    assert(got == Seq("a" -> 1, "b" -> 2))
+    assert(spark.table(view).filter(col("committed_at").isNull).count() == 0)
+  }
+
   test("files view: the manifest inventory as SQL, stats auditable") {
     val t = newTable()
     t.append(rows(0, 1000), "c0", 0L)
