@@ -148,6 +148,12 @@ class LakeDmlSqlSpec extends AnyFunSuite with SparkSessionTestWrapper {
       spark.sql(s"INSERT INTO $v SELECT a, b FROM dml_ins_src")
     }
     assert(ex.getMessage.contains("columns"))
+    // BY NAME: column order in the query is irrelevant (fresh key —
+    // appending an existing key would violate the append contract)
+    spark.sql(s"INSERT INTO $v BY NAME SELECT 49000L AS v, 7000L AS id, 3L AS grp")
+    assert(t.read().count() == 11)
+    val byName = t.read().filter(col("id") === 7000L).head
+    assert(byName.getLong(1) == 3L && byName.getLong(2) == 49000L)
   }
 
   test("DML works against the real-time (merge-on-read) view too") {
