@@ -29,8 +29,8 @@ object BenchExtra {
     override def onJobEnd(je: SparkListenerJobEnd): Unit = synchronized {
       jobs.get(je.jobId).foreach(_.end = je.time)
     }
-    def drain(): Seq[(Int, String, Long)] = synchronized {
-      val out = jobs.values.toSeq.map(j => (j.id, j.desc, j.end - j.start))
+    def drain(): Seq[(Int, String, Long, Long, Long)] = synchronized {
+      val out = jobs.values.toSeq.map(j => (j.id, j.desc, j.end - j.start, j.start, j.end))
       jobs.clear(); out
     }
   }
@@ -93,9 +93,13 @@ object BenchExtra {
             val jobs = timer.drain()
             println(f"== $name rep=$r rows=$n total=${(done - t0) / 1e9}%.3fs " +
               f"build=${(built - t0) / 1e9}%.3fs action=${(done - built) / 1e9}%.3fs jobs=${jobs.size}")
-            jobs.foreach { case (id, desc, ms) =>
-              val d = if (desc.length > 90) desc.take(90) else desc
-              println(f"   job#$id%-4d ${ms}%6dms  $d")
+            // gap = driver-side time since the previous job finished
+            // (planning, codegen, commit metadata, footer reads)
+            var prevEnd = t0 / 1000000
+            jobs.foreach { case (id, desc, ms, start, end) =>
+              val d = if (desc.length > 70) desc.take(70) else desc
+              println(f"   job#$id%-4d gap=${math.max(0, start - prevEnd)}%5dms run=${ms}%5dms  $d")
+              prevEnd = math.max(prevEnd, end)
             }
           } catch {
             case e: Throwable =>

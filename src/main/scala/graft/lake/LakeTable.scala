@@ -592,6 +592,31 @@ class LakeTable(val spark: SparkSession, val root: String) {
     if (fpb <= 1) lit(0)
     else pmod(hash(keyColumns.map(col) :+ lit("graft-salt"): _*), lit(fpb))
 
+  /** Repartition a bucketed write so every (bucket, salt) slot occupies
+    * exactly ONE shuffle partition. The former
+    * `repartition(n, _bucket, salt)` hashed ~n distinct slot values into
+    * n partitions, which leaves ~1/e of the write tasks empty and gives
+    * others 2-3 buckets (guide §2.5: synthetic partitioning keys with
+    * too few distinct values) — a built-in straggler tail on every
+    * commit's write stage at any scale. Rows are instead routed by a
+    * driver-computed murmur3 PREIMAGE of their slot id
+    * ([[LakeTable.partitionPreimages]]), giving perfect 1:1 packing.
+    * `buckets` = the bucket ids this write can produce (driver-known on
+    * every commit path; non-dense sets map through a literal map). */
+  private def packedByBucket(df: DataFrame, buckets: Seq[Int], fpb: Int,
+      keyColumns: Seq[String]): DataFrame = {
+    val sorted = buckets.sorted
+    val nParts = math.max(1, sorted.size * fpb)
+    val inv = LakeTable.partitionPreimages(nParts)
+    val dense: org.apache.spark.sql.Column =
+      if (sorted == (0 until sorted.size)) col("_bucket")
+      else element_at(
+        map(sorted.zipWithIndex.flatMap { case (b, i) => Seq(lit(b), lit(i)) }: _*),
+        col("_bucket"))
+    val slot = (dense * fpb + saltCol(keyColumns, fpb)).cast("int")
+    df.repartition(nParts, element_at(typedlit(inv.toSeq), slot + 1))
+  }
+
   /** Read a snapshot (current by default). Missing columns in old files
     * surface as null through the declared schema. Buckets carrying delta
     * files are LWW-reconstructed; delta-free buckets are plain scans. */
@@ -748,8 +773,7 @@ class LakeTable(val spark: SparkSession, val root: String) {
           val buckets = candFiles.map(_.bucket).toSet
           val keySchema = StructType(
             keyCols.map(n => to.schema(to.schema.fieldIndex(n))))
-          val keyDf = spark.read.schema(keySchema)
-            .parquet(candFiles.map(f => s"$root/${f.path}"): _*)
+          val keyDf = manifestParquetDf(keySchema, candFiles.map(_.path))
           System.err.println(s"[lake-cdf] delta-key fast path " +
             s"v${from.version}->v${to.version}: files=${candFiles.size} " +
             s"buckets=${buckets.size}/${to.nBuckets}")
@@ -1073,11 +1097,42 @@ class LakeTable(val spark: SparkSession, val root: String) {
     StatsPruner.FileStats(ranges.get, nulls.get, rowCount, colType)
   }
 
+  /** DataFrame over an explicit parquet file list through a PRECOMPUTED
+    * FileIndex: `spark.read.parquet(paths…)` re-lists every path and,
+    * past spark.sql.sources.parallelPartitionDiscovery.threshold (32
+    * paths), launches a whole Spark JOB just to list files the manifest
+    * already names — measured 100-350 ms of scheduler overhead per read
+    * on the commit/reconstruction paths (guide §6: manifest metadata
+    * exists precisely to avoid listing). Same scan machinery after
+    * resolution (vectorized parquet reader, pushdown, codegen). */
+  private[lake] def manifestParquetDf(schema: StructType, relPaths: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.execution.datasources.{FileIndex, HadoopFsRelation, LogicalRelation, PartitionDirectory}
+    import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+    val fsys = fs
+    val statuses = relPaths.map(p => fsys.getFileStatus(new Path(root, p))).toArray
+    val index = new FileIndex {
+      override def rootPaths: Seq[Path] = Seq(new Path(root))
+      override def listFiles(
+          partitionFilters: Seq[org.apache.spark.sql.catalyst.expressions.Expression],
+          dataFilters: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
+          : Seq[PartitionDirectory] =
+        Seq(PartitionDirectory(InternalRow.empty, statuses))
+      override def inputFiles: Array[String] = statuses.map(_.getPath.toString)
+      override def refresh(): Unit = ()
+      override def sizeInBytes: Long = statuses.map(_.getLen).sum
+      override def partitionSchema: StructType = StructType(Nil)
+    }
+    val rel = HadoopFsRelation(index, StructType(Nil), schema, None,
+      new ParquetFileFormat, Map.empty)(spark)
+    org.apache.spark.sql.graftshim.ofRows(spark, LogicalRelation(rel))
+  }
+
   private def readFiles(snap: Snapshot, files: Seq[DataFile]): DataFrame =
     if (files.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], snap.schema)
     else
-      spark.read.schema(snap.schema).parquet(files.map(f => s"$root/${f.path}"): _*)
+      manifestParquetDf(snap.schema, files.map(_.path))
 
   /** Merge-on-read reconstruction: base rows overlaid with delta rows.
     * When every delta row is a FULL row, the last writer (greatest
@@ -1103,15 +1158,15 @@ class LakeTable(val spark: SparkSession, val root: String) {
       deltaSchema.fields :+ StructField("_patch_mask", maskType, nullable = true))
     val parts = files.groupBy(f => (f.seq, f.delta, f.patch)).toSeq.map {
       case ((seq, isDelta, isPatch), fs0) =>
-        val paths = fs0.map(f => s"$root/${f.path}")
+        val paths = fs0.map(_.path)
         val base =
           if (isPatch)
-            spark.read.schema(patchSchema).parquet(paths: _*)
+            manifestParquetDf(patchSchema, paths)
           else if (isDelta)
-            spark.read.schema(deltaSchema).parquet(paths: _*)
+            manifestParquetDf(deltaSchema, paths)
               .withColumn("_patch_mask", lit(null).cast(maskType))
           else
-            spark.read.schema(snap.schema).parquet(paths: _*)
+            manifestParquetDf(snap.schema, paths)
               .withColumn("operation", lit("r"))
               .withColumn("_patch_mask", lit(null).cast(maskType))
         base.withColumn("_seq", lit(seq.toLong))
@@ -1144,22 +1199,39 @@ class LakeTable(val spark: SparkSession, val root: String) {
   private def listCommitFiles(commitDir: Path, seq: Int, delta: Boolean): Seq[DataFile] = {
     val statCols = currentSnapshot.map(_.statsColumns).getOrElse(Nil)
     val it = fs.listFiles(commitDir, true)
-    val buf = Seq.newBuilder[DataFile]
+    val paths = Seq.newBuilder[Path]
     while (it.hasNext) {
       val f = it.next()
-      val p = f.getPath.toString
-      if (p.endsWith(".parquet")) {
-        val rel = p.substring(p.indexOf(root) + root.length + 1)
-        val bucket = "_bucket=(\\d+)".r.findFirstMatchIn(p)
-          .map(_.group(1).toInt).getOrElse(0)
-        val (ranges, nulls, rows) =
-          if (statCols.isEmpty) (Map.empty[String, (Any, Any)], Map.empty[String, Long], -1L)
-          else footerStats(f.getPath, statCols)
-        buf += DataFile(rel, bucket, seq, delta,
-          stats = ranges, nulls = nulls, rows = rows)
-      }
+      if (f.getPath.toString.endsWith(".parquet")) paths += f.getPath
     }
-    buf.result()
+    val found = paths.result()
+    def toDataFile(fp: Path): DataFile = {
+      val p = fp.toString
+      val rel = p.substring(p.indexOf(root) + root.length + 1)
+      val bucket = "_bucket=(\\d+)".r.findFirstMatchIn(p)
+        .map(_.group(1).toInt).getOrElse(0)
+      val (ranges, nulls, rows) =
+        if (statCols.isEmpty) (Map.empty[String, (Any, Any)], Map.empty[String, Long], -1L)
+        else footerStats(fp, statCols)
+      DataFile(rel, bucket, seq, delta, stats = ranges, nulls = nulls, rows = rows)
+    }
+    // footer-stat harvest is one parquet-footer read per NEW file on the
+    // DRIVER; serialized it adds ~5-10 ms × files to every commit of a
+    // stats table (guide §5: driver-side single-threaded work shows up as
+    // "nothing running"). Read footers on a bounded pool instead.
+    if (statCols.isEmpty || found.size <= 1) found.map(toDataFile)
+    else {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.min(8, found.size))
+      try {
+        import scala.collection.JavaConverters._
+        val tasks: Seq[java.util.concurrent.Callable[DataFile]] =
+          found.map(fp => new java.util.concurrent.Callable[DataFile] {
+            override def call(): DataFile = toDataFile(fp)
+          })
+        pool.invokeAll(tasks.asJava).asScala.map(_.get()).toSeq
+      } finally pool.shutdown()
+    }
   }
 
   /** Per-column (min, max) + null counts + row count from a parquet
@@ -1265,8 +1337,8 @@ class LakeTable(val spark: SparkSession, val root: String) {
     val commitDir = newCommitDir("commit", cur.version + 1)
     val fpb = filesPerBucket(cur.nBuckets)
     writeBucketed(
-      df.withColumn("_bucket", bucketCol(cur.keyColumns, cur.nBuckets))
-        .repartition(cur.nBuckets * fpb, col("_bucket"), saltCol(cur.keyColumns, fpb)),
+      packedByBucket(df.withColumn("_bucket", bucketCol(cur.keyColumns, cur.nBuckets)),
+        0 until cur.nBuckets, fpb, cur.keyColumns),
       commitDir, cur.bloomColumns)
     val newFiles = listCommitFiles(commitDir, cur.version + 1, delta = false)
     publishOptimistic(cur, base => base.copy(version = base.version + 1,
@@ -1301,8 +1373,8 @@ class LakeTable(val spark: SparkSession, val root: String) {
     val commitDir = newCommitDir("overwrite", cur.version + 1)
     val fpb = filesPerBucket(cur.nBuckets)
     writeBucketed(
-      df.withColumn("_bucket", bucketCol(cur.keyColumns, cur.nBuckets))
-        .repartition(cur.nBuckets * fpb, col("_bucket"), saltCol(cur.keyColumns, fpb)),
+      packedByBucket(df.withColumn("_bucket", bucketCol(cur.keyColumns, cur.nBuckets)),
+        0 until cur.nBuckets, fpb, cur.keyColumns),
       commitDir, cur.bloomColumns)
     val newFiles = listCommitFiles(commitDir, cur.version + 1, delta = false)
     val next = cur.copy(version = cur.version + 1,
@@ -1428,8 +1500,8 @@ class LakeTable(val spark: SparkSession, val root: String) {
     val fpb = filesPerBucket(affected.size)
     val tWrite0 = System.nanoTime()
     writeBucketed(
-      merged.withColumn("_bucket", bucketCol(keyCols, nb))
-        .repartition(affected.size * fpb, col("_bucket"), saltCol(keyCols, fpb)),
+      packedByBucket(merged.withColumn("_bucket", bucketCol(keyCols, nb)),
+        affected.toSeq, fpb, keyCols),
       commitDir, cur.bloomColumns)
     val writeMs = (System.nanoTime() - tWrite0) / 1000000
     val tList0 = System.nanoTime()
@@ -1561,9 +1633,8 @@ class LakeTable(val spark: SparkSession, val root: String) {
       (if (hasPatch) Seq("_patch_mask") else Nil) ++ Seq("_bucket")
     val fpb = filesPerBucket(nb)
     writeBucketed(
-      observed
-        .select(outCols.map(col): _*)
-        .repartition(nb * fpb, col("_bucket"), saltCol(keyCols, fpb)),
+      packedByBucket(observed.select(outCols.map(col): _*),
+        0 until nb, fpb, keyCols),
       commitDir, cur.bloomColumns)
     val writeMs = (System.nanoTime() - tWrite0) / 1000000
     val m = obs.get
@@ -1641,8 +1712,8 @@ class LakeTable(val spark: SparkSession, val root: String) {
     val commitDir = newCommitDir("compact", cur.version + 1)
     val fpb = filesPerBucket(target.size)
     writeBucketed(
-      rows.withColumn("_bucket", bucketCol(cur.keyColumns, cur.nBuckets))
-        .repartition(target.size * fpb, col("_bucket"), saltCol(cur.keyColumns, fpb)),
+      packedByBucket(rows.withColumn("_bucket", bucketCol(cur.keyColumns, cur.nBuckets)),
+        target.toSeq, fpb, cur.keyColumns),
       commitDir, cur.bloomColumns)
     // seq anchored at the BASE version: the folded rows are the state
     // as of `cur`, so any interim delta commit (seq > cur.version)
@@ -1747,8 +1818,13 @@ class LakeTable(val spark: SparkSession, val root: String) {
     val target = buckets.getOrElse((0 until cur.nBuckets).toSet)
     val (targetFiles, _) = cur.files.partition(f => target.contains(f.bucket))
     if (targetFiles.isEmpty) return cur.copy(lineage = None)
-    val rows = snapshotRows(cur, targetFiles)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    // the persist pays for the quantile-sketch + write double pass; under
+    // reuseCuts there is only the write pass — persisting would only add
+    // a materialization
+    val rows0 = snapshotRows(cur, targetFiles)
+    val rows =
+      if (reuseCuts) rows0
+      else rows0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     try {
       val cuts: Array[Array[Double]] =
         if (reuseCuts) {
@@ -1906,8 +1982,8 @@ class LakeTable(val spark: SparkSession, val root: String) {
     val commitDir = newCommitDir(opName, cur.version + 1)
     val fpb = filesPerBucket(rewriteBuckets.size)
     writeBucketed(
-      out.withColumn("_bucket", bucketCol(cur.keyColumns, cur.nBuckets))
-        .repartition(rewriteBuckets.size * fpb, col("_bucket"), saltCol(cur.keyColumns, fpb)),
+      packedByBucket(out.withColumn("_bucket", bucketCol(cur.keyColumns, cur.nBuckets)),
+        rewriteBuckets.toSeq, fpb, cur.keyColumns),
       commitDir, cur.bloomColumns)
     val newFiles = listCommitFiles(commitDir, cur.version + 1, delta = false)
     val m = obs.get
@@ -1960,8 +2036,8 @@ class LakeTable(val spark: SparkSession, val root: String) {
     val commitDir = newCommitDir("rebucket", cur.version + 1)
     val fpb = filesPerBucket(newBuckets)
     writeBucketed(
-      rows.withColumn("_bucket", bucketCol(cur.keyColumns, newBuckets))
-        .repartition(newBuckets * fpb, col("_bucket"), saltCol(cur.keyColumns, fpb)),
+      packedByBucket(rows.withColumn("_bucket", bucketCol(cur.keyColumns, newBuckets)),
+        0 until newBuckets, fpb, cur.keyColumns),
       commitDir, cur.bloomColumns)
     val newFiles = listCommitFiles(commitDir, cur.version + 1, delta = false)
     val durMs = (System.nanoTime() - t0) / 1000000
@@ -2116,4 +2192,27 @@ class LakeTable(val spark: SparkSession, val root: String) {
     }
     deleted
   }
+}
+
+object LakeTable {
+  /** `partitionPreimages(n)(t)` = an Int whose murmur3 hash (seed 42 —
+    * what `repartition` applies to a single int column) lands in shuffle
+    * partition t of n. Routing a bucketed write by the preimage of its
+    * (bucket, salt) slot packs each slot into its own task — see
+    * `packedByBucket`. Deterministic; cached per partition count. */
+  private val preimageCache =
+    scala.collection.concurrent.TrieMap.empty[Int, Array[Int]]
+  private[lake] def partitionPreimages(n: Int): Array[Int] =
+    preimageCache.getOrElseUpdate(n, {
+      val inv = Array.fill(n)(-1)
+      var found = 0
+      var v = 0
+      while (found < n) {
+        val h = org.apache.spark.unsafe.hash.Murmur3_x86_32.hashInt(v, 42)
+        val p = ((h % n) + n) % n
+        if (inv(p) < 0) { inv(p) = v; found += 1 }
+        v += 1
+      }
+      inv
+    })
 }

@@ -303,8 +303,15 @@ object DedupOps {
   private[graft] def propagateClusters(pairs: DataFrame, aCol: String,
       bCol: String, maxIters: Int): (DataFrame, Int) = {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER
-    val edges = pairs.select(col(aCol).as("u"), col(bCol).as("v"))
-      .unionByName(pairs.select(col(bCol).as("u"), col(aCol).as("v")))
+    // symmetrize by EXPLODING each pair into both orientations instead of
+    // unioning two selects over `pairs` — the union form evaluates the
+    // whole upstream pair-detection pipeline (shingle explode + md5 +
+    // band join) twice when the persist first materializes
+    val edges = pairs
+      .select(explode(array(
+        struct(col(aCol).as("u"), col(bCol).as("v")),
+        struct(col(bCol).as("u"), col(aCol).as("v")))).as("_e"))
+      .select(col("_e.u").as("u"), col("_e.v").as("v"))
       .distinct().persist(lvl)
     // eager localCheckpoint per round TRUNCATES THE LOGICAL PLAN — each
     // round references the previous relation 2×, so under plain persist
@@ -323,15 +330,20 @@ object DedupOps {
       val viaNbr = edges
         .join(labels.select(col("id").as("v"), col("cluster_id").as("nbl")), "v")
         .groupBy(col("u").as("id")).agg(min(col("nbl")).as("nbl"))
+      // labels only ever DECREASE (least), so "changed" is simply
+      // new < old — carried as a flag through the checkpoint, making the
+      // convergence probe a filter on checkpointed data instead of a
+      // join of this round's labels against the previous round's
       val next = labels.join(viaNbr, Seq("id"), "left")
         .select(col("id"),
           least(col("cluster_id"), coalesce(col("nbl"), col("cluster_id")))
-            .as("cluster_id"))
+            .as("_new_cluster"),
+          col("cluster_id").as("_old_cluster"))
+        .select(col("id"), col("_new_cluster").as("cluster_id"),
+          (col("_new_cluster") < col("_old_cluster")).as("_changed"))
         .localCheckpoint(true)
-      converged = next
-        .join(labels.select(col("id"), col("cluster_id").as("old")), "id")
-        .filter(col("cluster_id") =!= col("old")).isEmpty
-      labels = next
+      converged = next.filter(col("_changed")).isEmpty
+      labels = next.select(col("id"), col("cluster_id"))
       i += 1
     }
     edges.unpersist()

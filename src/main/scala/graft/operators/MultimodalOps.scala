@@ -246,17 +246,36 @@ object MultimodalOps {
     }
   }
 
+  /** The JDK's registered audio readers, loaded ONCE per JVM:
+    * `AudioSystem.getAudioFileFormat` / `getAudioInputStream` resolve
+    * providers through `JDK13Services.getProviders`, which is a
+    * `synchronized` global — N parallel decode tasks serialize on that
+    * lock and run SLOWER than one task. Dispatching over the same SPI
+    * instances directly is lock-free and sniffs identically (each
+    * reader accepts only its own container format). */
+  private lazy val audioReaders: Seq[javax.sound.sampled.spi.AudioFileReader] = {
+    import scala.collection.JavaConverters._
+    java.util.ServiceLoader.load(classOf[javax.sound.sampled.spi.AudioFileReader])
+      .iterator().asScala.toSeq
+  }
+
   private def decodeAudioOne(bytes: Array[Byte]): Seq[Any] = {
     if (bytes == null) return Seq.fill[Any](8)(null)
-    val (fmtName, in) =
-      try {
-        val bais = new java.io.ByteArrayInputStream(bytes)
-        // real container type from the codec's own sniffing (wav/aif/au)
-        val name = javax.sound.sampled.AudioSystem.getAudioFileFormat(bais)
-          .getType.getExtension
-        bais.reset()
-        (name, javax.sound.sampled.AudioSystem.getAudioInputStream(bais))
-      } catch { case _: Exception => (null, null) } // non-audio classifies, never throws
+    val (fmtName, in) = {
+      var name: String = null
+      var stream: javax.sound.sampled.AudioInputStream = null
+      val rs = audioReaders.iterator
+      while (stream == null && rs.hasNext) {
+        val r = rs.next()
+        try {
+          val bais = new java.io.ByteArrayInputStream(bytes)
+          name = r.getAudioFileFormat(bais).getType.getExtension
+          bais.reset()
+          stream = r.getAudioInputStream(bais)
+        } catch { case _: Exception => () } // not this reader's format
+      }
+      (name, stream) // all readers declined: non-audio classifies as null
+    }
     if (in == null) return Seq.fill[Any](8)(null)
     val f = in.getFormat
     val meta = Seq[Any](fmtName, f.getChannels, f.getSampleRate.toInt,

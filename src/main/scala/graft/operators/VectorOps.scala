@@ -63,14 +63,21 @@ object VectorOps {
     val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         cosine(col("_qv"), col("_cv")).as("sim"))
-    // top-k per query via max_by on packed struct would need k>1; use window.
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("sim").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "neighbor_id", "rank")
+    topKRanked(scored, k)
   }
+
+  /** (query_id, neighbor_id, rank 1..k) from a scored pair relation via
+    * ONE bounded ObjectHashAggregate — identical output to the former
+    * `row_number over (partition by query order by sim desc, id asc)`
+    * window, but partial aggregation cuts every map partition to ≤ k
+    * entries per query BEFORE the shuffle, where the window shape
+    * shuffled and sorted every candidate pair (see TopKByScore). */
+  private def topKRanked(scored: DataFrame, k: Int): DataFrame =
+    scored.groupBy(col("query_id"))
+      .agg(graft.functions.TopKByScore.topKByScore(
+        col("sim"), col("neighbor_id"), k).as("_top"))
+      .select(col("query_id"), posexplode(col("_top")).as(Seq("_pos", "neighbor_id")))
+      .select(col("query_id"), col("neighbor_id"), (col("_pos") + 1).as("rank"))
 
   /** Random-hyperplane LSH signature: `bits` sign bits of dot products
     * with deterministic pseudo-random hyperplanes — ONE pass over the
@@ -124,12 +131,7 @@ object VectorOps {
     val scored = cands.join(qv, "query_id").join(cv, "neighbor_id")
       .select(col("query_id"), col("neighbor_id"),
         cosine(col("_qv"), col("_cv")).as("sim"))
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("sim").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "neighbor_id", "rank")
+    topKRanked(scored, k)
   }
 
   /** Per-row centroid ranking: the `n` nearest centroid cids, nearest
@@ -216,16 +218,11 @@ object VectorOps {
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         cosine(col("_qv"), col("_cv2")).as("sim"))
-      // a (query, neighbor) pair can meet in up to nProbe shared lists:
-      // dedup before ranking
-      .groupBy(col("query_id"), col("neighbor_id"))
-      .agg(max(col("sim")).as("sim"))
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("sim").desc, col("neighbor_id").asc)
-    scoredPairs.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "neighbor_id", "rank")
+    // a (query, neighbor) pair can meet in up to nProbe shared lists —
+    // with the SAME sim (same two vectors), so TopKByScore's duplicate
+    // collapse IS the pair dedup the former groupBy(q, n).max(sim)
+    // performed, without shuffling every pair
+    topKRanked(scoredPairs, k)
   }
 
   /** LSH-blocked embedding near-dup pairs with CROSS-ENGINE-EXACT
