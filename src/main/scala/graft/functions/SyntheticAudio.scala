@@ -60,8 +60,22 @@ object SyntheticAudio {
     val fmt = new AudioFormat(sr.toFloat, 16, ch, true, false) // PCM16 signed LE
     val ais = new AudioInputStream(new ByteArrayInputStream(pcm), fmt, n.toLong)
     val bos = new ByteArrayOutputStream()
-    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+    wavWriter.write(ais, AudioFileFormat.Type.WAVE, bos)
     bos.toByteArray
+  }
+
+  /** The JDK's WAVE writer, resolved ONCE per JVM: `AudioSystem.write`
+    * re-resolves providers through a `synchronized` global
+    * (JDK13Services.getProviders) on every call, so N parallel synthesis
+    * tasks serialize on that lock — same fix as the reader side in
+    * MultimodalOps.decodeAudio. Identical output bytes (this IS the
+    * writer AudioSystem selects for WAVE). */
+  private lazy val wavWriter: javax.sound.sampled.spi.AudioFileWriter = {
+    import scala.collection.JavaConverters._
+    java.util.ServiceLoader.load(classOf[javax.sound.sampled.spi.AudioFileWriter])
+      .iterator().asScala
+      .find(_.isFileTypeSupported(AudioFileFormat.Type.WAVE))
+      .getOrElse(sys.error("no JDK WAVE writer"))
   }
 
   /** Deterministic non-audio bytes: no RIFF signature, md5-derived body. */

@@ -1123,7 +1123,11 @@ class LakeTable(val spark: SparkSession, val root: String) {
       override def sizeInBytes: Long = statuses.map(_.getLen).sum
       override def partitionSchema: StructType = StructType(Nil)
     }
-    val rel = HadoopFsRelation(index, StructType(Nil), schema, None,
+    // asNullable mirrors DataSource.resolveRelation: a file may lack a
+    // column (schema evolution) or hold nulls the declared schema
+    // forbids — the scan must not codegen non-null assumptions
+    val rel = HadoopFsRelation(index, StructType(Nil),
+      StructType(schema.fields.map(_.copy(nullable = true))), None,
       new ParquetFileFormat, Map.empty)(spark)
     org.apache.spark.sql.graftshim.ofRows(spark, LogicalRelation(rel))
   }
