@@ -1069,7 +1069,9 @@ object SparkEntry {
 
     // ---- training-data text ops ----
     "doc_tokens" -> ((s, dir) =>
-      spread(s, t(s, dir, "documents")).select(
+      // no spread: tokenCount + fingerprint are too cheap per row to pay
+      // for an exchange at this table size (measured 2× slower with it)
+      t(s, dir, "documents").select(
         col("doc_id"),
         TextOps.tokenCount(col("text")).as("n_tokens"),
         TextOps.fingerprint(col("text")).as("fp"))),

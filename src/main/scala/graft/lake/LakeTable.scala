@@ -2175,7 +2175,22 @@ class LakeTable(val spark: SparkSession, val root: String) {
             (minAgeMs <= 0L || now - f.getModificationTime >= minAgeMs))
           toDelete += f.getPath
       }
-      toDelete.result().foreach { p => if (fs.delete(p, false)) deleted += 1 }
+      // deletes are independent driver-side FS calls — run them on a
+      // bounded pool (serial deletion of a large vacuum batch is pure
+      // driver wall time, guide §5)
+      val victims = toDelete.result()
+      if (victims.size <= 1) victims.foreach { p => if (fs.delete(p, false)) deleted += 1 }
+      else {
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(
+          math.min(8, victims.size))
+        try {
+          val tasks: Seq[java.util.concurrent.Callable[Boolean]] =
+            victims.map(p => new java.util.concurrent.Callable[Boolean] {
+              override def call(): Boolean = fs.delete(p, false)
+            })
+          deleted += pool.invokeAll(tasks.asJava).asScala.count(_.get())
+        } finally pool.shutdown()
+      }
       // prune now-empty commit directories
       fs.listStatus(dataDir).foreach { d =>
         if (d.isDirectory && !fs.listFiles(d.getPath, true).hasNext)
@@ -2206,7 +2221,7 @@ object LakeTable {
     * `packedByBucket`. Deterministic; cached per partition count. */
   private val preimageCache =
     scala.collection.concurrent.TrieMap.empty[Int, Array[Int]]
-  private[lake] def partitionPreimages(n: Int): Array[Int] =
+  private[graft] def partitionPreimages(n: Int): Array[Int] =
     preimageCache.getOrElseUpdate(n, {
       val inv = Array.fill(n)(-1)
       var found = 0
