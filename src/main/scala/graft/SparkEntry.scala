@@ -972,7 +972,9 @@ object SparkEntry {
     "q3_topk" -> ((s, dir) => {
       val c = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
       val o = t(s, dir, "orders")
-      val l = t(s, dir, "lineitem")
+      // the fact side is one input split at this sf — spread it so the
+      // broadcast-join probe + partial agg stage uses every core
+      val l = spread(s, t(s, dir, "lineitem"))
       c.join(o, c("c_custkey") === o("o_custkey"))
         .join(l, o("o_orderkey") === l("l_orderkey"))
         .groupBy(col("o_orderkey"))

@@ -113,9 +113,14 @@ class LakeTable(val spark: SparkSession, val root: String) {
   }
 
   /** Manifests are immutable once written — cache their parsed contents
-    * so reading N snapshots doesn't re-parse shared manifests. */
-  private val manifestCache =
-    scala.collection.concurrent.TrieMap.empty[String, Seq[DataFile]]
+    * JVM-WIDE (keyed by absolute path) so the SQL/DML paths, which build
+    * a fresh LakeTable per statement/relation, don't re-read and
+    * re-parse every manifest per statement. Safe: a manifest file never
+    * changes after publish, and vacuum only deletes manifests no
+    * retained snapshot references (so a stale entry is never looked up;
+    * it is evicted on delete anyway). */
+  private def manifestCache = LakeTable.manifestCache
+  private def manifestKey(rel: String) = s"$root/$rel"
 
   // ------------------------------------------------------------ metadata
 
@@ -154,8 +159,9 @@ class LakeTable(val spark: SparkSession, val root: String) {
     else n.asText()
 
   private def loadManifest(path: String): Manifest =
-    Manifest(path, manifestCache.getOrElseUpdate(path,
-      parseFiles(mapper.readTree(readFully(new Path(root, path))))))
+    Manifest(path, manifestCache.getOrElseUpdate(manifestKey(path),
+      parseFiles(mapper.readTree(readFully(new Path(root, path)))))
+      .asInstanceOf[Seq[DataFile]]) // same case class; cache is per-root
 
   def snapshot(version: Int): Snapshot = {
     val node = mapper.readTree(readFully(versionFile(version)))
@@ -226,7 +232,7 @@ class LakeTable(val spark: SparkSession, val root: String) {
     }
     val out = fs.create(new Path(root, rel), false)
     try out.write(mapper.writeValueAsBytes(arr)) finally out.close()
-    manifestCache.put(rel, files)
+    manifestCache.put(manifestKey(rel), files)
     Some(Manifest(rel, files))
   }
 
@@ -2206,7 +2212,7 @@ class LakeTable(val spark: SparkSession, val root: String) {
       val rel = s"metadata/$name"
       if (name.startsWith("manifest-") && !referencedManifests.contains(rel) &&
           (minAgeMs <= 0L || now - f.getModificationTime >= minAgeMs)) {
-        if (fs.delete(f.getPath, false)) { deleted += 1; manifestCache.remove(rel) }
+        if (fs.delete(f.getPath, false)) { deleted += 1; manifestCache.remove(manifestKey(rel)) }
       }
     }
     deleted
@@ -2214,6 +2220,9 @@ class LakeTable(val spark: SparkSession, val root: String) {
 }
 
 object LakeTable {
+  private[lake] val manifestCache =
+    scala.collection.concurrent.TrieMap.empty[String, Seq[LakeTable#DataFile]]
+
   /** `partitionPreimages(n)(t)` = an Int whose murmur3 hash (seed 42 —
     * what `repartition` applies to a single int column) lands in shuffle
     * partition t of n. Routing a bucketed write by the preimage of its
