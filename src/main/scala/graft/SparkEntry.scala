@@ -972,11 +972,18 @@ object SparkEntry {
     "q3_topk" -> ((s, dir) => {
       val c = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
       val o = t(s, dir, "orders")
-      // the fact side is one input split at this sf — spread it so the
-      // broadcast-join probe + partial agg stage uses every core
-      val l = spread(s, t(s, dir, "lineitem"))
-      c.join(o, c("c_custkey") === o("o_custkey"))
-        .join(l, o("o_orderkey") === l("l_orderkey"))
+      // Statically Spark broadcast LINEITEM here (the c⨝o side's
+      // product-based size estimate dwarfs the fact scan), leaving the
+      // probe + partial agg on the single-split orders side — backwards
+      // at this sf AND at 100 TB, where no side of this join fits a
+      // broadcast. Hint the scale shape instead: a shuffled join on the
+      // order key parallelizes both sides, and the groupBy(o_orderkey)
+      // that follows is already satisfied by the join's partitioning, so
+      // the aggregate needs no further exchange.
+      val l = t(s, dir, "lineitem")
+      val co = c.join(o, c("c_custkey") === o("o_custkey"))
+        .select(o("o_orderkey").as("o_orderkey"))
+      l.join(co.hint("shuffle_hash"), col("o_orderkey") === l("l_orderkey"))
         .groupBy(col("o_orderkey"))
         .agg(sum(col("l_extendedprice").cast("decimal(18,4)") *
              (lit(1) - col("l_discount").cast("decimal(18,4)"))).cast("double").as("revenue"))

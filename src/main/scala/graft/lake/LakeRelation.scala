@@ -167,14 +167,37 @@ class LakeDataSource extends RelationProvider with CreatableRelationProvider
         statsColumns = csv("statsColumns"), bloomColumns = csv("bloomColumns"))
       table.append(data, commitId, batchId)
     } else mode match {
-      case SaveMode.Append => table.append(data, commitId, batchId)
-      case SaveMode.Overwrite => table.overwrite(data, commitId, batchId)
+      case SaveMode.Append =>
+        table.append(alignToSnapshot(table, data), commitId, batchId)
+      case SaveMode.Overwrite =>
+        table.overwrite(alignToSnapshot(table, data), commitId, batchId)
       case SaveMode.ErrorIfExists => sys.error(
         s"graft-lake: table already exists at ${table.root} " +
           "(mode is ErrorIfExists — use append or overwrite)")
       case SaveMode.Ignore => // table exists: write nothing, per contract
     }
     createRelation(ctx, parameters)
+  }
+
+  /** Align an incoming batch-writer frame to the table's declared
+    * schema by NAME (reordering tolerated, casts applied) — a renamed
+    * or missing column fails loudly here instead of writing parquet
+    * inconsistent with the snapshot schema that only surfaces later as
+    * nulls or read-time cast errors. Mirrors GraftInsertCommand's
+    * BY NAME logic. */
+  private def alignToSnapshot(table: LakeTable, df: DataFrame): DataFrame = {
+    val fields = table.currentSnapshot.get.schema.fields
+    val missing = fields.map(_.name)
+      .filterNot(n => df.columns.exists(_.equalsIgnoreCase(n)))
+    require(missing.isEmpty, s"graft-lake write: dataframe is missing table " +
+      s"columns ${missing.mkString(", ")} (table schema is fixed at create; " +
+      "evolve the table first to add columns)")
+    val extra = df.columns
+      .filterNot(c => fields.exists(_.name.equalsIgnoreCase(c)))
+    require(extra.isEmpty, s"graft-lake write: dataframe has columns not in " +
+      s"the table: ${extra.mkString(", ")} (evolve the table first)")
+    df.select(fields.map(f =>
+      org.apache.spark.sql.functions.col(f.name).cast(f.dataType).as(f.name)).toSeq: _*)
   }
 
   // ------------------------------------------------------ streaming CDF

@@ -910,6 +910,16 @@ class LakeTable(val spark: SparkSession, val root: String) {
     try out.write(mapper.writeValueAsBytes(node)) finally out.close()
     if (fs.exists(p)) fs.delete(p, false)
     if (!fs.rename(tmp, p)) { fs.delete(tmp, false); sys.error(s"tag publish failed: $p") }
+    // close the check-then-publish window against a concurrent
+    // expireSnapshots/vacuum: once the tag is visible it protects the
+    // version, so if the version survived to THIS point the tag is
+    // durable; if maintenance expired it in the window, retract the tag
+    // rather than leave a ref pinning an already-collected snapshot.
+    if (!listVersions.contains(v)) {
+      fs.delete(p, false)
+      sys.error(s"tag '$name': version $v was expired by concurrent " +
+        "maintenance during tagging; re-run against a retained version")
+    }
     v
   }
 

@@ -42,10 +42,11 @@ import graft.lake.{LakeFileIndex, LakeMorRelation, LakeTable}
   * snapshot isolation, re-create the view to see the new version).
   *
   * MERGE supports the three shapes that map exactly onto native table
-  * operations: UPSERT (`WHEN MATCHED THEN UPDATE SET *` + optionally
-  * `WHEN NOT MATCHED THEN INSERT *`, both unconditional — an update of
-  * an absent key inserts, so the INSERT clause adds nothing
-  * semantically) and DELETE (`WHEN MATCHED THEN DELETE` alone — a
+  * operations: UPSERT (`WHEN MATCHED THEN UPDATE SET *` +
+  * `WHEN NOT MATCHED THEN INSERT *`, both unconditional and both
+  * required — the reduced-delta merge inserts absent keys, so an
+  * update-only MERGE would diverge from standard SQL and is rejected)
+  * and DELETE (`WHEN MATCHED THEN DELETE` alone — a
   * delete of an absent key is a no-op), both via the reduced-delta
   * [[LakeTable.merge]]; and full SYNC (`UPDATE SET *` + `INSERT *` +
   * `WHEN NOT MATCHED BY SOURCE THEN DELETE`), whose final state is by
@@ -131,17 +132,17 @@ case class GraftDmlRule(spark: SparkSession) extends Rule[LogicalPlan] {
   private def translateMerge(m: MergeIntoTable, root: String): LogicalPlan = {
     def fail(what: String): Nothing = sys.error(
       s"graft-lake MERGE: $what (supported: unconditional " +
-        "'WHEN MATCHED THEN UPDATE SET *' [+ 'WHEN NOT MATCHED THEN " +
-        "INSERT *'] for upsert, 'WHEN MATCHED THEN DELETE' alone, or " +
+        "'WHEN MATCHED THEN UPDATE SET *' + 'WHEN NOT MATCHED THEN " +
+        "INSERT *' for upsert, 'WHEN MATCHED THEN DELETE' alone, or " +
         "the full-sync shape UPDATE SET * + INSERT * + NOT MATCHED BY " +
         "SOURCE DELETE; ON must equate exactly the key columns)")
     if (m.withSchemaEvolution)
       fail("WITH SCHEMA EVOLUTION is not supported here — evolve the " +
         "table first (LakeTable.evolveSchema, or autoEvolve on the " +
         "ingest pipeline)")
-    val keyCols = new LakeTable(spark, root).currentSnapshot
+    val mergeSnap = new LakeTable(spark, root).currentSnapshot
       .getOrElse(sys.error(s"graft-lake MERGE: no table at $root"))
-      .keyColumns
+    val keyCols = mergeSnap.keyColumns
     // ON: a conjunction of name-equal column equalities covering the keys
     def attrName(e: Expression): Option[String] = e match {
       case a: AttributeReference => Some(a.name)
@@ -173,12 +174,21 @@ case class GraftDmlRule(spark: SparkSession) extends Rule[LogicalPlan] {
       case org.apache.spark.sql.catalyst.expressions.Alias(c, _) => valueName(c)
       case other => attrName(other)
     }
-    def isStarAssignments(as: Seq[Assignment]): Boolean = as.forall { a =>
+    def nameAligned(as: Seq[Assignment]): Boolean = as.forall { a =>
       (attrName(a.key), valueName(a.value)) match {
         case (Some(k), Some(v)) => k.equalsIgnoreCase(v)
         case _ => false
       }
     }
+    // star = name-aligned AND covering EVERY target column. A partial
+    // name-aligned list (UPDATE SET t.v = s.v, or a short INSERT column
+    // list) must NOT classify as star: the reduced-delta merge replaces
+    // the whole row, which would silently clobber every unassigned
+    // column with the source's value.
+    val targetColsLower = mergeSnap.schema.fieldNames.map(_.toLowerCase).toSet
+    def isStarAssignments(as: Seq[Assignment]): Boolean =
+      nameAligned(as) &&
+        as.flatMap(a => attrName(a.key)).map(_.toLowerCase).toSet == targetColsLower
     val matchedUpdateStar = m.matchedActions match {
       case Seq(UpdateStarAction(None)) => true
       case Seq(UpdateAction(None, as, _)) if isStarAssignments(as) => true
@@ -188,6 +198,22 @@ case class GraftDmlRule(spark: SparkSession) extends Rule[LogicalPlan] {
       case Seq(InsertStarAction(None)) => true
       case Seq(InsertAction(None, as)) if isStarAssignments(as) => true
       case _ => false
+    }
+    // loud, specific failures for the near-miss shapes a user actually
+    // writes (instead of the generic catch-all below)
+    m.matchedActions match {
+      case Seq(UpdateAction(None, as, _)) if nameAligned(as) && !matchedUpdateStar =>
+        fail("partial SET in WHEN MATCHED THEN UPDATE is not supported — " +
+          "the reduced-delta merge replaces the whole row (unassigned " +
+          "columns would take source values); assign every target column " +
+          "or use UPDATE SET *")
+      case _ =>
+    }
+    m.notMatchedActions match {
+      case Seq(InsertAction(None, as)) if nameAligned(as) && !insertStar =>
+        fail("partial INSERT column list in WHEN NOT MATCHED is not " +
+          "supported — provide every target column or use INSERT *")
+      case _ =>
     }
     val op = m.notMatchedBySourceActions match {
       // full SYNC: matched rows take source values, absent rows insert,
@@ -199,8 +225,15 @@ case class GraftDmlRule(spark: SparkSession) extends Rule[LogicalPlan] {
           "unconditional full-sync shape (UPDATE SET * + INSERT * + " +
           "NOT MATCHED BY SOURCE DELETE)")
       case _ => (m.matchedActions, m.notMatchedActions) match {
+        case (Seq(UpdateStarAction(None) | UpdateAction(None, _, _)), Nil)
+            if matchedUpdateStar =>
+          fail("update-only MERGE (no WHEN NOT MATCHED clause) is not " +
+            "supported — the reduced-delta upsert would also insert " +
+            "unmatched source keys where standard MERGE leaves them " +
+            "untouched; add WHEN NOT MATCHED THEN INSERT * or pre-filter " +
+            "the source to existing keys")
         case (Seq(UpdateStarAction(None) | UpdateAction(None, _, _)), _)
-            if matchedUpdateStar && (m.notMatchedActions.isEmpty || insertStar) => "u"
+            if matchedUpdateStar && insertStar => "u"
         case (Seq(DeleteAction(None)), Nil) => "d"
         case (Nil, _) if m.notMatchedActions.nonEmpty =>
           fail("insert-only MERGE is not supported (matched rows must not " +

@@ -104,6 +104,43 @@ class LakeDmlSqlSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(badOn.getMessage.contains("key"))
   }
 
+  test("MERGE near-miss shapes fail loudly instead of mis-translating") {
+    val (t, v) = newTable()
+    val pre = t.currentVersion.get
+    rows(900, 1100).withColumn("v", col("v") * 2)
+      .createOrReplaceTempView("dml_src_shapes")
+
+    // partial SET that IS name-aligned (SET v = s.v) must NOT classify
+    // as SET * — the reduced-delta merge would clobber every unassigned
+    // column with the source's value
+    val partialSet = intercept[Exception] {
+      spark.sql(s"""MERGE INTO $v t USING dml_src_shapes s ON t.id = s.id
+        WHEN MATCHED THEN UPDATE SET v = s.v
+        WHEN NOT MATCHED THEN INSERT *""")
+    }
+    assert(partialSet.getMessage.contains("partial SET"))
+
+    // partial INSERT column list: same class of near-miss
+    val partialIns = intercept[Exception] {
+      spark.sql(s"""MERGE INTO $v t USING dml_src_shapes s ON t.id = s.id
+        WHEN MATCHED THEN UPDATE SET *
+        WHEN NOT MATCHED THEN INSERT (id, v) VALUES (s.id, s.v)""")
+    }
+    assert(partialIns.getMessage.contains("INSERT"))
+
+    // update-only MERGE: the reduced-delta upsert would insert unmatched
+    // source keys where standard MERGE leaves them untouched
+    val updOnly = intercept[Exception] {
+      spark.sql(s"""MERGE INTO $v t USING dml_src_shapes s ON t.id = s.id
+        WHEN MATCHED THEN UPDATE SET *""")
+    }
+    assert(updOnly.getMessage.contains("update-only"))
+
+    // none of the rejected statements committed anything
+    assert(t.currentVersion.get == pre)
+    assert(t.read().count() == 1000)
+  }
+
   test("MERGE INTO full-sync shape: NOT MATCHED BY SOURCE DELETE = atomic overwrite") {
     val (t, v) = newTable()
     val preVer = t.currentVersion.get

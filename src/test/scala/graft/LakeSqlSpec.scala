@@ -240,6 +240,30 @@ class LakeSqlSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(t.read().count() == 30)
   }
 
+  test("batch writer aligns by name to the table schema; mismatches fail loudly") {
+    val root = Scratch.dir("lake-sql-write-align")
+    rows(0, 10).write.format("graft-lake")
+      .option("keys", "id").option("nBuckets", "2").save(root)
+    val t = new LakeTable(spark, root)
+    // reordered columns align by NAME (positional write would swap them)
+    spark.range(10, 20).select((col("id") * 7).as("v"), col("id"))
+      .write.format("graft-lake").mode("append").save(root)
+    assert(t.read().filter(col("id") === 15L).head.getLong(1) == 105L)
+    // renamed column: loud failure, not parquet inconsistent with the snapshot
+    val renamed = intercept[Exception] {
+      spark.range(20, 30).select(col("id"), (col("id") * 7).as("val"))
+        .write.format("graft-lake").mode("append").save(root)
+    }
+    assert(renamed.getMessage.contains("missing table columns"))
+    // missing column: loud failure too
+    val missing = intercept[Exception] {
+      spark.range(20, 30).select(col("id"))
+        .write.format("graft-lake").mode("overwrite").save(root)
+    }
+    assert(missing.getMessage.contains("missing table columns"))
+    assert(t.read().count() == 20) // nothing from the failed writes landed
+  }
+
   test("history view: the commit audit log as a SQL relation") {
     val t = newTable(statsCols = Nil)
     t.append(rows(0, 50), "c0", 0L)
