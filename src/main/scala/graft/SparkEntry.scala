@@ -436,7 +436,13 @@ object SparkEntry {
         try graft.streaming.StatefulOps.streamingFirstByKey(
             mem.toDF().toDF("event_id", "user_id", "event_type", "value"),
             Seq("event_id"))
-          .writeStream.format("memory").queryName(sink).outputMode("append").start()
+          .writeStream.format("memory").queryName(sink).outputMode("append")
+          // explicit tmpfs checkpoint: the default temp checkpoint lands
+          // under /tmp (disk on this host) and pays offset/commit-log +
+          // state-store fsyncs per micro-batch (same routing as
+          // stream_lake_cdf and every lake gate)
+          .option("checkpointLocation", graft.Scratch.dir("stream-dedup-ckpt"))
+          .start()
         finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
       mem.addData(rows ++ dups)
       q.processAllAvailable()
@@ -482,7 +488,11 @@ object SparkEntry {
           .withWatermark("ts", "1 hour")
           .groupBy(window(col("ts"), "1 hour").as("w"))
           .agg(count(lit(1)).as("n"), dsum(col("value")).as("total_value"))
-          .writeStream.format("memory").queryName(sink).outputMode("append").start()
+          .writeStream.format("memory").queryName(sink).outputMode("append")
+          // tmpfs checkpoint — see stream_dedup; the default temp
+          // checkpoint is disk-backed /tmp on this host
+          .option("checkpointLocation", graft.Scratch.dir("stream-late-ckpt"))
+          .start()
         finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
       mem.addData(sample)
       q.processAllAvailable()
